@@ -1,0 +1,295 @@
+"""Batched BN254 point arithmetic in JAX — branch-free complete formulas.
+
+TPU-first design: Renes–Costello–Batina complete projective addition for
+a = 0 curves (Alg. 7/9) — no exceptional cases, so a whole batch of point
+ops runs as straight-line VPU code with identity/doubling handled uniformly.
+This is the group-law layer under the Pippenger MSM (ops/msm.py).
+
+Points are pytrees {x, y, z} of field coordinates; a coordinate is an
+(L, ...) limb array for Fq (G1) or a (c0, c1) tuple of them for Fq2 (G2).
+Identity is (0, 1, 0).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import field as F
+from . import limbs as LB
+from .towers import XI
+
+L = F.LIMBS
+
+
+class FqOps:
+    """Vectorized Fq operations (G1 coordinate field)."""
+
+    name = "fq"
+    fs = LB.FQ_SPEC
+
+    def mul(self, a, b):
+        return LB.mont_mul(self.fs, a, b)
+
+    def sqr(self, a):
+        return LB.mont_mul(self.fs, a, a)
+
+    def add(self, a, b):
+        return LB.add(self.fs, a, b)
+
+    def sub(self, a, b):
+        return LB.sub(self.fs, a, b)
+
+    def neg(self, a):
+        return LB.neg(self.fs, a)
+
+    def mul_b3(self, a):
+        # 3b = 9 for y^2 = x^3 + 3:  9a = 8a + a
+        a2 = self.add(a, a)
+        a4 = self.add(a2, a2)
+        a8 = self.add(a4, a4)
+        return self.add(a8, a)
+
+    def zero(self, shape):
+        return LB.zeros(shape)
+
+    def one(self, shape):
+        return LB.constant(self.fs, 1, shape)
+
+    def select(self, cond, a, b):
+        return LB.select(cond, a, b)
+
+    def is_zero(self, a):
+        return LB.is_zero(a)
+
+    def inv(self, a):
+        return LB.inv(self.fs, a)
+
+    def batch_shape(self, a):
+        return a.shape[1:]
+
+    def from_ints(self, values, mont=True):
+        import numpy as np
+
+        vals = np.asarray(values, dtype=object)
+        if mont:
+            flat = [F.FQ.to_mont(int(v)) for v in vals.reshape(-1)]
+            vals = np.array(flat, dtype=object).reshape(vals.shape)
+        return jnp.asarray(LB.ints_to_limbs(vals))
+
+    def to_ints(self, a, mont=True):
+        import numpy as np
+
+        out = LB.limbs_to_ints(np.asarray(a))
+        if mont:
+            flat = [F.FQ.from_mont(int(v)) for v in np.asarray(out, dtype=object).reshape(-1)]
+            out = np.array(flat, dtype=object).reshape(out.shape)
+        return out
+
+
+class Fq2Ops:
+    """Vectorized Fq2 = Fq[u]/(u^2+1) operations (G2 coordinate field)."""
+
+    name = "fq2"
+    fs = LB.FQ_SPEC
+
+    def mul(self, a, b):
+        a0, a1 = a
+        b0, b1 = b
+        t0 = LB.mont_mul(self.fs, a0, b0)
+        t1 = LB.mont_mul(self.fs, a1, b1)
+        s = LB.mont_mul(self.fs, LB.add(self.fs, a0, a1), LB.add(self.fs, b0, b1))
+        c0 = LB.sub(self.fs, t0, t1)
+        c1 = LB.sub(self.fs, LB.sub(self.fs, s, t0), t1)
+        return (c0, c1)
+
+    def sqr(self, a):
+        a0, a1 = a
+        s = LB.mont_mul(self.fs, LB.add(self.fs, a0, a1), LB.sub(self.fs, a0, a1))
+        m = LB.mont_mul(self.fs, a0, a1)
+        return (s, LB.add(self.fs, m, m))
+
+    def add(self, a, b):
+        return (LB.add(self.fs, a[0], b[0]), LB.add(self.fs, a[1], b[1]))
+
+    def sub(self, a, b):
+        return (LB.sub(self.fs, a[0], b[0]), LB.sub(self.fs, a[1], b[1]))
+
+    def neg(self, a):
+        return (LB.neg(self.fs, a[0]), LB.neg(self.fs, a[1]))
+
+    # 3 * b2 = 9/(9+u), a fixed Fq2 constant
+    _B3 = None
+
+    @classmethod
+    def b3_const(cls):
+        if cls._B3 is None:
+            b3 = XI.inv() * 9
+            cls._B3 = (b3.c0, b3.c1)
+        return cls._B3
+
+    def mul_b3(self, a):
+        k0, k1 = self.b3_const()
+        shape = a[0].shape[1:]
+        c = (
+            LB.constant(self.fs, k0, ()),
+            LB.constant(self.fs, k1, ()),
+        )
+        c = (c[0].reshape((L,) + (1,) * len(shape)), c[1].reshape((L,) + (1,) * len(shape)))
+        return self.mul(a, c)
+
+    def zero(self, shape):
+        return (LB.zeros(shape), LB.zeros(shape))
+
+    def one(self, shape):
+        return (LB.constant(self.fs, 1, shape), LB.zeros(shape))
+
+    def select(self, cond, a, b):
+        return (LB.select(cond, a[0], b[0]), LB.select(cond, a[1], b[1]))
+
+    def is_zero(self, a):
+        return LB.is_zero(a[0]) & LB.is_zero(a[1])
+
+    def inv(self, a):
+        a0, a1 = a
+        norm = LB.add(
+            self.fs, LB.mont_mul(self.fs, a0, a0), LB.mont_mul(self.fs, a1, a1)
+        )
+        ninv = LB.inv(self.fs, norm)
+        return (
+            LB.mont_mul(self.fs, a0, ninv),
+            LB.neg(self.fs, LB.mont_mul(self.fs, a1, ninv)),
+        )
+
+    def batch_shape(self, a):
+        return a[0].shape[1:]
+
+    def from_ints(self, c0_vals, c1_vals, mont=True):
+        fq = FqOps()
+        return (fq_from(fq, c0_vals, mont), fq_from(fq, c1_vals, mont))
+
+
+def fq_from(fq, vals, mont=True):
+    import numpy as np
+
+    arr = np.asarray(vals, dtype=object)
+    if mont:
+        flat = [F.FQ.to_mont(int(v)) for v in arr.reshape(-1)]
+        arr = np.array(flat, dtype=object).reshape(arr.shape)
+    return jnp.asarray(LB.ints_to_limbs(arr))
+
+
+FQ_OPS = FqOps()
+FQ2_OPS = Fq2Ops()
+
+
+# ---------------------------------------------------------------------------
+# Complete group law (RCB 2015, a = 0)
+# ---------------------------------------------------------------------------
+
+def ec_identity(ops, shape):
+    return {"x": ops.zero(shape), "y": ops.one(shape), "z": ops.zero(shape)}
+
+
+def ec_is_identity(ops, p):
+    return ops.is_zero(p["z"])
+
+
+def ec_neg(ops, p):
+    return {"x": p["x"], "y": ops.neg(p["y"]), "z": p["z"]}
+
+
+def ec_select(ops, cond, p, q):
+    return {
+        "x": ops.select(cond, p["x"], q["x"]),
+        "y": ops.select(cond, p["y"], q["y"]),
+        "z": ops.select(cond, p["z"], q["z"]),
+    }
+
+
+def ec_add(ops, p, q):
+    """Complete projective addition, RCB Algorithm 7 (a=0, 12M + b3 muls)."""
+    x1, y1, z1 = p["x"], p["y"], p["z"]
+    x2, y2, z2 = q["x"], q["y"], q["z"]
+    t0 = ops.mul(x1, x2)
+    t1 = ops.mul(y1, y2)
+    t2 = ops.mul(z1, z2)
+    t3 = ops.add(x1, y1)
+    t4 = ops.add(x2, y2)
+    t3 = ops.mul(t3, t4)
+    t4 = ops.add(t0, t1)
+    t3 = ops.sub(t3, t4)
+    t4 = ops.add(y1, z1)
+    x3 = ops.add(y2, z2)
+    t4 = ops.mul(t4, x3)
+    x3 = ops.add(t1, t2)
+    t4 = ops.sub(t4, x3)
+    x3 = ops.add(x1, z1)
+    y3 = ops.add(x2, z2)
+    x3 = ops.mul(x3, y3)
+    y3 = ops.add(t0, t2)
+    y3 = ops.sub(x3, y3)
+    x3 = ops.add(t0, t0)
+    t0 = ops.add(x3, t0)
+    t2 = ops.mul_b3(t2)
+    z3 = ops.add(t1, t2)
+    t1 = ops.sub(t1, t2)
+    y3 = ops.mul_b3(y3)
+    x3 = ops.mul(t4, y3)
+    t2 = ops.mul(t3, t1)
+    x3 = ops.sub(t2, x3)
+    y3 = ops.mul(y3, t0)
+    t1 = ops.mul(t1, z3)
+    y3 = ops.add(t1, y3)
+    t0 = ops.mul(t0, t3)
+    z3 = ops.mul(z3, t4)
+    z3 = ops.add(z3, t0)
+    return {"x": x3, "y": y3, "z": z3}
+
+
+def ec_double(ops, p):
+    """Complete projective doubling, RCB Algorithm 9 (a=0, 6M+2S)."""
+    x, y, z = p["x"], p["y"], p["z"]
+    t0 = ops.sqr(y)
+    z3 = ops.add(t0, t0)
+    z3 = ops.add(z3, z3)
+    z3 = ops.add(z3, z3)
+    t1 = ops.mul(y, z)
+    t2 = ops.sqr(z)
+    t2 = ops.mul_b3(t2)
+    x3 = ops.mul(t2, z3)
+    y3 = ops.add(t0, t2)
+    z3 = ops.mul(t1, z3)
+    t1 = ops.add(t2, t2)
+    t2 = ops.add(t1, t2)
+    t0 = ops.sub(t0, t2)
+    y3 = ops.mul(t0, y3)
+    y3 = ops.add(x3, y3)
+    t1 = ops.mul(x, y)
+    x3 = ops.mul(t0, t1)
+    x3 = ops.add(x3, x3)
+    return {"x": x3, "y": y3, "z": z3}
+
+
+def ec_scalar_mul_bits(ops, p, scalar_bits: jnp.ndarray):
+    """Batched double-and-add: scalar_bits (nbits, ...) int32 MSB-first."""
+    import jax
+
+    def body(acc, bit):
+        acc = ec_double(ops, acc)
+        added = ec_add(ops, acc, p)
+        acc = ec_select(ops, jnp.broadcast_to(bit, ops.batch_shape(acc["z"]) if False else bit.shape), added, acc)
+        return acc, None
+
+    init = ec_identity(ops, ops.batch_shape(p["x"] if ops.name == "fq" else p["x"][0]))
+    acc, _ = jax.lax.scan(body, init, scalar_bits)
+    return acc
+
+
+def ec_to_affine(ops, p):
+    """Normalize projective -> affine (identity maps to (0, 0))."""
+    zinv = ops.inv(p["z"])
+    return {
+        "x": ops.mul(p["x"], zinv),
+        "y": ops.mul(p["y"], zinv),
+        "inf": ec_is_identity(ops, p),
+    }

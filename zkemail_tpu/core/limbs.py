@@ -236,7 +236,9 @@ def mont_mul(
     in ops/ is the production path on TPU.
     """
     n0inv = fs.n0inv
-    batch_shape = a.shape[1:]
+    batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch_shape)
+    b = jnp.broadcast_to(b, (L,) + batch_shape)
     p_col = jnp.asarray(fs.np_p).reshape((L,) + (1,) * len(batch_shape))
     zero_row = jnp.zeros((1,) + batch_shape, dtype=jnp.int32)
 

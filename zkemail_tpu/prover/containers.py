@@ -1,0 +1,68 @@
+"""Groth16 proof/key containers + the verification equation (oracle path).
+
+Replaces the reference's snarkjs `groth16.verify` / rust-verifier arkworks
+path (packages/helpers/src/chunked-zkey.ts:93-105,
+packages/rust-verifier/src/verifier_utils.rs) with a self-contained checker
+used as the parity oracle for the TPU prover.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..core.curve import G1, G2, multi_pairing_is_one
+from ..core.field import R
+
+
+@dataclass
+class Proof:
+    a: G1
+    b: G2
+    c: G1
+
+    @staticmethod
+    def from_snarkjs(obj: dict) -> "Proof":
+        """Parse snarkjs proof.json (affine decimal strings, projective z=1)."""
+        from ..core.towers import Fq2
+
+        pa = G1(int(obj["pi_a"][0]), int(obj["pi_a"][1]))
+        pb = G2(
+            Fq2(int(obj["pi_b"][0][0]), int(obj["pi_b"][0][1])),
+            Fq2(int(obj["pi_b"][1][0]), int(obj["pi_b"][1][1])),
+        )
+        pc = G1(int(obj["pi_c"][0]), int(obj["pi_c"][1]))
+        return Proof(pa, pb, pc)
+
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: G1
+    beta_g2: G2
+    gamma_g2: G2
+    delta_g2: G2
+    ic: list = field(default_factory=list)
+
+    @staticmethod
+    def from_ark_bytes(data: bytes) -> "VerifyingKey":
+        from ..utils.ark_serialize import decode_vkey
+
+        return VerifyingKey(**decode_vkey(data))
+
+
+def verify(vk: VerifyingKey, proof: Proof, public_inputs: list[int]) -> bool:
+    """e(A,B) == e(alpha,beta) * e(L_pub, gamma) * e(C, delta)."""
+    if len(public_inputs) + 1 != len(vk.ic):
+        raise ValueError("public input count mismatch")
+    if not (proof.a.on_curve() and proof.b.on_curve() and proof.c.on_curve()):
+        return False
+    acc = vk.ic[0]
+    for x, pt in zip(public_inputs, vk.ic[1:]):
+        acc = acc.add(pt.mul(x % R))
+    return multi_pairing_is_one(
+        [
+            (proof.a.neg(), proof.b),
+            (vk.alpha_g1, vk.beta_g2),
+            (acc, vk.gamma_g2),
+            (proof.c, vk.delta_g2),
+        ]
+    )
