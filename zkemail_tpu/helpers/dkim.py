@@ -1,0 +1,275 @@
+"""DKIM (RFC 6376) verification pipeline — from-scratch host implementation.
+
+Replaces the reference's vendored mailauth stack
+(packages/helpers/src/lib/mailauth/dkim-verifier.ts:41-351,
+packages/helpers/src/dkim/index.ts:36-158) with a compact Python pipeline:
+parse -> canonicalize -> body-hash check -> signature base reconstruction ->
+RSA-SHA256 verify with multi-key trial, returning the byte buffers that feed
+the circuit witness generator.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+from dataclasses import dataclass, field
+
+from .canon import (
+    canon_body,
+    canon_header_relaxed,
+    canon_header_simple,
+    strip_b_value,
+)
+from .sha_utils import sha256
+
+# ---------------------------------------------------------------------------
+# Message parsing
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ParsedMessage:
+    headers: list  # list of (lower_name: str, raw_line: bytes incl. folds, value: bytes)
+    body: bytes
+
+
+def parse_message(raw: bytes) -> ParsedMessage:
+    raw = re.sub(rb"(?<!\r)\n", b"\r\n", raw)  # normalize bare LF (mailauth ensureLinebreaks)
+    if b"\r\n\r\n" in raw:
+        head, body = raw.split(b"\r\n\r\n", 1)
+    else:
+        head, body = raw, b""
+    lines = head.split(b"\r\n")
+    headers = []
+    cur = None
+    for ln in lines:
+        if ln[:1] in (b" ", b"\t") and cur is not None:
+            cur = cur + b"\r\n" + ln
+            headers[-1] = (headers[-1][0], cur)
+            continue
+        cur = ln
+        name = ln.split(b":", 1)[0].strip().lower().decode("latin-1") if b":" in ln else ""
+        headers.append((name, cur))
+    out = []
+    for name, raw_line in headers:
+        value = raw_line.split(b":", 1)[1] if b":" in raw_line else b""
+        out.append((name, raw_line, value))
+    return ParsedMessage(out, body)
+
+
+# ---------------------------------------------------------------------------
+# DKIM-Signature tag list parsing (parse-dkim-headers.ts equivalent)
+# ---------------------------------------------------------------------------
+
+def parse_tags(value: bytes) -> dict[str, str]:
+    tags = {}
+    # unfold and split on ';'
+    unfolded = re.sub(rb"\r\n[ \t]", b" ", value)
+    for part in unfolded.split(b";"):
+        part = part.strip()
+        if not part or b"=" not in part:
+            continue
+        k, v = part.split(b"=", 1)
+        tags[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+    return tags
+
+
+# ---------------------------------------------------------------------------
+# Result container (mirrors DKIMVerificationResult, dkim/index.ts:12-24)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DKIMVerificationResult:
+    signature: int
+    public_key: tuple  # (n, e)
+    headers: bytes  # canonicalized signed-header buffer (circuit input)
+    body: bytes  # canonicalized body (circuit input)
+    body_hash: str  # base64 bh= tag
+    signing_domain: str
+    selector: str
+    algo: str
+    format: str  # canonicalization c= tag
+    modulus_length: int
+    applied_sanitization: str | None = None
+    status: dict = field(default_factory=dict)
+
+
+class DKIMError(Exception):
+    def __init__(self, code: str, message: str):
+        super().__init__(f"{code}: {message}")
+        self.code = code
+
+
+# ---------------------------------------------------------------------------
+# Core verification
+# ---------------------------------------------------------------------------
+
+def _signed_header_lines(parsed: ParsedMessage, h_tag: str, sig_index: int):
+    """Select headers per h= (bottom-up, last occurrence first per RFC 6376
+    §5.4.2 — tools.ts:107 getSigningHeaderLines semantics)."""
+    wanted = [x.strip().lower() for x in h_tag.split(":") if x.strip()]
+    cursors: dict[str, int] = {}
+    selected = []
+    for name in wanted:
+        start = cursors.get(name, len(parsed.headers))
+        idx = -1
+        for i in range(start - 1, -1, -1):
+            if parsed.headers[i][0] == name:
+                idx = i
+                break
+        if idx == -1:
+            continue  # missing header contributes nothing
+        cursors[name] = idx
+        selected.append(parsed.headers[idx])
+    return selected
+
+
+def compute_body_hash(body: bytes, canon_algo: str, length: int | None) -> bytes:
+    canon = canon_body(body, canon_algo, length)
+    return sha256(canon)
+
+
+def build_signature_base(
+    parsed: ParsedMessage, sig_header_raw: bytes, tags: dict
+) -> bytes:
+    header_canon = tags.get("c", "simple/simple").split("/")[0]
+    selected = _signed_header_lines(parsed, tags.get("h", ""), 0)
+    chunks = []
+    for name, raw_line, value in selected:
+        if header_canon == "relaxed":
+            chunks.append(canon_header_relaxed(name.encode(), value))
+        else:
+            chunks.append(canon_header_simple(raw_line))
+    # the DKIM-Signature header itself, b= value stripped, no trailing CRLF
+    stripped = strip_b_value(sig_header_raw)
+    if header_canon == "relaxed":
+        nm, val = stripped.split(b":", 1)
+        chunks.append(canon_header_relaxed(nm, val))
+    else:
+        chunks.append(canon_header_simple(stripped))
+    return b"\r\n".join(chunks)
+
+
+def rsa_sha256_verify(n: int, e: int, signature: int, message: bytes) -> bool:
+    """PKCS#1 v1.5 RSA-SHA256 verification by direct modular exponentiation."""
+    k = (n.bit_length() + 7) // 8
+    if not 0 < signature < n:
+        return False
+    em = pow(signature, e, n).to_bytes(k, "big")
+    digest = sha256(message)
+    # 0x00 0x01 FF..FF 0x00 || ASN.1 DigestInfo(SHA-256) || digest
+    prefix = bytes.fromhex("3031300d060960864801650304020105000420")
+    expected = b"\x00\x01" + b"\xff" * (k - 3 - len(prefix) - 32) + b"\x00" + prefix + digest
+    return em == expected
+
+
+def verify_dkim_signature(
+    raw_email: bytes,
+    resolver,
+    domain: str | None = None,
+    enable_sanitization: bool = True,
+    fall_back_to_maybe_expired_keys: bool = False,
+) -> DKIMVerificationResult:
+    """Full DKIM verification. resolver: (domain, selector) -> [(n, e), ...].
+
+    On signature failure, retries the email sanitizers
+    (packages/helpers/src/dkim/sanitizers.ts:65) before giving up.
+    """
+    from .sanitizers import SANITIZERS
+
+    attempts = [(None, raw_email)]
+    if enable_sanitization:
+        attempts += [(s.__name__, s(raw_email)) for s in SANITIZERS]
+    last_err: Exception | None = None
+    for name, candidate in attempts:
+        if candidate is None:
+            continue
+        try:
+            res = _try_verify(candidate, resolver, domain)
+            res.applied_sanitization = name
+            return res
+        except DKIMError as exc:
+            if last_err is None or name is None:
+                last_err = exc
+            continue
+    raise last_err if last_err else DKIMError("ENOSIG", "no DKIM signature found")
+
+
+def _try_verify(raw_email: bytes, resolver, domain: str | None) -> DKIMVerificationResult:
+    parsed = parse_message(raw_email)
+    sigs = [
+        (name, raw_line, value)
+        for (name, raw_line, value) in parsed.headers
+        if name == "dkim-signature"
+    ]
+    if not sigs:
+        raise DKIMError("ENOSIG", "message does not contain a DKIM signature")
+    errors = []
+    for name, raw_line, value in sigs:
+        tags = parse_tags(value)
+        d = tags.get("d", "")
+        if domain and d.lower() != domain.lower():
+            continue
+        try:
+            return _verify_one(parsed, raw_line, tags, resolver)
+        except DKIMError as exc:
+            errors.append(exc)
+    if errors:
+        raise errors[0]
+    raise DKIMError("ENOSIG", f"no DKIM signature for domain {domain}")
+
+
+def _verify_one(parsed, sig_header_raw, tags, resolver) -> DKIMVerificationResult:
+    algo = tags.get("a", "rsa-sha256")
+    if algo != "rsa-sha256":
+        raise DKIMError("EINVALIDALGO", f"unsupported algorithm {algo}")
+    canon = tags.get("c", "simple/simple")
+    parts = canon.split("/")
+    header_canon = parts[0] or "simple"
+    body_canon = parts[1] if len(parts) > 1 else "simple"
+    length = int(tags["l"]) if "l" in tags else None
+
+    bh_expected = tags.get("bh", "")
+    body_canonical = canon_body(parsed.body, body_canon, length)
+    bh_actual = base64.b64encode(sha256(body_canonical)).decode()
+    if bh_actual != bh_expected:
+        raise DKIMError("EBODYHASH", "body hash did not verify")
+
+    base = build_signature_base(parsed, sig_header_raw, tags)
+    sig_b64 = re.sub(r"\s+", "", tags.get("b", ""))
+    signature = int.from_bytes(base64.b64decode(sig_b64 + "=" * (-len(sig_b64) % 4)), "big")
+
+    d, s = tags.get("d", ""), tags.get("s", "")
+    keys = resolver(d, s)
+    if not keys:
+        raise DKIMError("ENODATA", f"no DKIM key found for {s}._domainkey.{d}")
+    for n, e in keys:
+        if n.bit_length() < 1024:
+            raise DKIMError("ESHORTKEY", "key too short")
+        if rsa_sha256_verify(n, e, signature, base):
+            return DKIMVerificationResult(
+                signature=signature,
+                public_key=(n, e),
+                headers=base,
+                body=body_canonical,
+                body_hash=bh_expected,
+                signing_domain=d,
+                selector=s,
+                algo=algo,
+                format=canon,
+                modulus_length=n.bit_length(),
+                status={"result": "pass", "aligned": d},
+            )
+    raise DKIMError("EBADSIG", "bad signature")
+
+
+def extract_from_domain(raw_email: bytes) -> str | None:
+    """Default signing domain from the From: header (dkim/index.ts:141-147)."""
+    parsed = parse_message(raw_email)
+    for name, _raw, value in parsed.headers:
+        if name == "from":
+            m = re.search(rb"@([A-Za-z0-9.-]+)", value)
+            if m:
+                return m.group(1).decode().strip().strip(">").lower()
+    return None
