@@ -16,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU-tunnel site package force-sets jax_platforms="axon,cpu" at jax
+# import time, overriding the env var; push it back to pure CPU for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

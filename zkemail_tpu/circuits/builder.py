@@ -1,0 +1,483 @@
+"""Constraint-system builder: R1CS emission + a vectorized JAX witness plan.
+
+This replaces the reference's circom compiler + WASM witness generator
+(docs/zk-email-docs/UsageGuide Steps 3-4) with a TPU-first design:
+
+  * Gadgets emit R1CS rows in bulk as numpy COO batches (build is one-time
+    per circuit configuration and cacheable).
+  * Every gadget also registers *witness steps*: JAX-traceable functions that
+    compute whole signal blocks at once (vectorized over SHA blocks, limbs,
+    bytes, and the email batch) instead of circom's per-signal interpreter.
+    The full witness plan jits into a single XLA program, batched over emails.
+  * Non-deterministic hints (circom's `<--`: long-division q/r, block index,
+    carries) enter as extra *inputs* computed by fast host code — exactly the
+    prover-advice role they play in the reference (fp.circom:46, sha.circom:111).
+
+Witness values are BN254 Fr elements in the 22x12-bit limb layout of
+core.limbs, standard (non-Montgomery) form; shape (L, n_signals, B).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import field as F
+from ..core import limbs as LB
+
+L = F.LIMBS
+P = F.R  # circuit field = Fr
+
+
+def _as_index_array(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.int64).reshape(-1)
+
+
+class SignalVec:
+    """A (possibly multi-dimensional) array of signal indices."""
+
+    __slots__ = ("idx",)
+
+    def __init__(self, idx: np.ndarray):
+        self.idx = np.asarray(idx, dtype=np.int64)
+
+    @property
+    def shape(self):
+        return self.idx.shape
+
+    @property
+    def size(self):
+        return self.idx.size
+
+    def __getitem__(self, key) -> "SignalVec":
+        return SignalVec(np.asarray(self.idx[key]))
+
+    def reshape(self, *shape) -> "SignalVec":
+        return SignalVec(self.idx.reshape(*shape))
+
+    def flat(self) -> "SignalVec":
+        return SignalVec(self.idx.reshape(-1))
+
+    def concat(self, other: "SignalVec") -> "SignalVec":
+        return SignalVec(np.concatenate([self.idx.reshape(-1), other.idx.reshape(-1)]))
+
+    # --- linear-combination sugar -----------------------------------------
+    def lc(self, coeff=1) -> "LC":
+        return LC([(self, coeff)])
+
+    def __add__(self, other):
+        return self.lc() + other
+
+    def __radd__(self, other):
+        return self.lc() + other
+
+    def __sub__(self, other):
+        return self.lc() - other
+
+    def __rsub__(self, other):
+        return (-1) * self.lc() + other
+
+    def __mul__(self, k):
+        if isinstance(k, (int, np.integer, np.ndarray)):
+            return self.lc(k)
+        raise TypeError("use cs.mul for signal*signal products")
+
+    __rmul__ = __mul__
+
+
+class LC:
+    """Linear combination: list of (SignalVec, coeff) + constant.
+
+    coeff may be a scalar int or a numpy array broadcastable to the signal
+    shape. The constant term may likewise be scalar or array.
+    """
+
+    __slots__ = ("terms", "const")
+
+    def __init__(self, terms, const=0):
+        self.terms = list(terms)
+        self.const = const
+
+    @staticmethod
+    def of(x) -> "LC":
+        if isinstance(x, LC):
+            return x
+        if isinstance(x, SignalVec):
+            return x.lc()
+        if isinstance(x, (int, np.integer, np.ndarray)):
+            return LC([], x)
+        raise TypeError(type(x))
+
+    def __add__(self, other):
+        o = LC.of(other)
+        return LC(self.terms + o.terms, _addc(self.const, o.const))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        o = LC.of(other)
+        neg = [(s, _negc(c)) for s, c in o.terms]
+        return LC(self.terms + neg, _addc(self.const, _negc(o.const)))
+
+    def __rsub__(self, other):
+        o = LC.of(other)
+        neg = [(s, _negc(c)) for s, c in self.terms]
+        return LC(o.terms + neg, _addc(o.const, _negc(self.const)))
+
+    def __mul__(self, k):
+        if isinstance(k, (int, np.integer, np.ndarray)):
+            return LC([(s, _mulc(c, k)) for s, c in self.terms], _mulc(self.const, k))
+        raise TypeError("use cs.mul for signal*signal products")
+
+    __rmul__ = __mul__
+
+    @property
+    def shape(self):
+        shp = ()
+        for s, c in self.terms:
+            shp = np.broadcast_shapes(shp, s.shape, np.shape(c))
+        shp = np.broadcast_shapes(shp, np.shape(self.const))
+        return shp
+
+
+def _addc(a, b):
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+        return (np.asarray(a, dtype=object) + np.asarray(b, dtype=object))
+    return a + b
+
+
+def _negc(a):
+    if isinstance(a, np.ndarray):
+        return -a.astype(object)
+    return -a
+
+
+def _mulc(a, b):
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+        return (np.asarray(a, dtype=object) * np.asarray(b, dtype=object))
+    return a * b
+
+
+@dataclass
+class WitnessStep:
+    """Computes limb values for out_idx signals: fn(env) -> (L, k, B) int32."""
+
+    out_idx: np.ndarray
+    fn: object
+    name: str = ""
+
+
+@dataclass
+class InputBinding:
+    name: str
+    signals: SignalVec
+    dtype: str  # "u32" (int array input) | "fr" (limb array input)
+
+
+class Env:
+    """Witness-evaluation environment handed to step functions.
+
+    `perm` maps builder-time signal indices to the compiled (publics-first)
+    witness layout; all gathers go through it.
+    """
+
+    def __init__(self, w: jnp.ndarray, inputs: dict, perm=None):
+        self.w = w  # (L, n, B)
+        self.inputs = inputs
+        self.perm = perm
+
+    def _map(self, idx: np.ndarray) -> np.ndarray:
+        return idx if self.perm is None else self.perm[idx]
+
+    def fr(self, sv: SignalVec) -> jnp.ndarray:
+        """Gather signals as Fr limbs: (L, *shape, B)."""
+        flat = self.w[:, self._map(sv.idx.reshape(-1)), :]
+        return flat.reshape((L,) + sv.shape + (self.w.shape[-1],))
+
+    def u32(self, sv: SignalVec) -> jnp.ndarray:
+        """Gather signals known to be < 2^31 as int32: (*shape, B)."""
+        limbs = self.w[:3, self._map(sv.idx.reshape(-1)), :]
+        val = limbs[0] + (limbs[1] << 12) + (limbs[2] << 24)
+        return val.reshape(sv.shape + (self.w.shape[-1],)).astype(jnp.int32)
+
+
+def lift_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """int32 (*shape, B) nonneg -> (L, *shape, B) limbs."""
+    x = x.astype(jnp.int32)
+    parts = [x & 0xFFF, (x >> 12) & 0xFFF, (x >> 24) & 0x7F]
+    z = jnp.zeros_like(x)
+    return jnp.stack(parts + [z] * (L - 3), axis=0)
+
+
+class ConstraintSystem:
+    """Accumulates signals, R1CS rows, and the witness plan."""
+
+    def __init__(self, name: str = "circuit"):
+        self.name = name
+        self.n_signals = 1  # signal 0 is the constant ONE
+        self.n_constraints = 0
+        # COO triples per matrix: lists of (rows np.int64, cols np.int64, coeffs object)
+        self._mats = {"A": [], "B": [], "C": []}
+        self.steps: list[WitnessStep] = []
+        self.input_bindings: list[InputBinding] = []
+        self.public: list[int] = []
+        self.one = SignalVec(np.zeros((), dtype=np.int64))
+
+    # ---------------------------------------------------------------- alloc
+    def alloc(self, shape=(), name: str = "") -> SignalVec:
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        idx = np.arange(self.n_signals, self.n_signals + n, dtype=np.int64).reshape(shape)
+        self.n_signals += n
+        return SignalVec(idx)
+
+    def add_input(self, name: str, shape=(), dtype: str = "u32") -> SignalVec:
+        sv = self.alloc(shape, name)
+        self.input_bindings.append(InputBinding(name, sv, dtype))
+
+        if dtype == "u32":
+            def step(env, name=name, shape=shape):
+                x = env.inputs[name]
+                return lift_u32(x).reshape((L, sv.size, -1))
+        else:
+            def step(env, name=name):
+                x = env.inputs[name]  # (L, *shape, B) limbs already
+                return x.reshape((L, sv.size, -1))
+
+        self.steps.append(WitnessStep(sv.idx.reshape(-1), step, f"input:{name}"))
+        return sv
+
+    def mark_public(self, sv: SignalVec):
+        self.public.extend(int(i) for i in sv.idx.reshape(-1))
+
+    # ----------------------------------------------------------- constraints
+    def _emit(self, mat: str, rows: np.ndarray, lc: LC, shape):
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        store = self._mats[mat]
+        for sv, coeff in lc.terms:
+            cols = np.broadcast_to(sv.idx, shape).reshape(-1)
+            cf = np.broadcast_to(np.asarray(coeff, dtype=object), shape).reshape(-1)
+            store.append((rows, cols, cf))
+        const = lc.const
+        if isinstance(const, np.ndarray) or const != 0:
+            cols = np.zeros(n, dtype=np.int64)
+            cf = np.broadcast_to(np.asarray(const, dtype=object), shape).reshape(-1)
+            store.append((rows, cols, cf))
+
+    def enforce(self, a, b, c):
+        """Add constraints  a * b = c  (elementwise over broadcast shape)."""
+        a, b, c = LC.of(a), LC.of(b), LC.of(c)
+        shape = np.broadcast_shapes(a.shape, b.shape, c.shape)
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        rows = np.arange(self.n_constraints, self.n_constraints + n, dtype=np.int64)
+        self.n_constraints += n
+        self._emit("A", rows, a, shape)
+        self._emit("B", rows, b, shape)
+        self._emit("C", rows, c, shape)
+
+    def enforce_zero(self, lc):
+        self.enforce(lc, LC([], 1), LC([], 0))
+
+    def enforce_equal(self, a, b):
+        self.enforce(LC.of(a) - LC.of(b), LC([], 1), LC([], 0))
+
+    def enforce_bit(self, sv):
+        self.enforce(sv, LC.of(sv) - 1, LC([], 0))
+
+    # ------------------------------------------------------- witness helpers
+    def set_witness(self, sv: SignalVec, fn, name: str = ""):
+        """fn(env) -> (L, k, B) limb values for sv.flat()."""
+        self.steps.append(WitnessStep(sv.idx.reshape(-1), fn, name))
+
+    def define(self, lc, name: str = "") -> SignalVec:
+        """z = lc with a generic witness evaluation (use for small gadgets)."""
+        lc = LC.of(lc)
+        shape = lc.shape
+        z = self.alloc(shape, name)
+        self.enforce_equal(lc, z)
+        terms = [(s, c) for s, c in lc.terms]
+        const = lc.const
+
+        def step(env, terms=terms, const=const, shape=shape):
+            b = env.w.shape[-1]
+            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            acc = _eval_lc_mont(env, terms, const, shape, n, b)
+            return _from_mont_dev(acc)
+
+        self.set_witness(z, step, name or "define")
+        return z
+
+    def mul(self, a, b, name: str = "") -> SignalVec:
+        """z = a * b (signal product) with generic witness computation."""
+        a, b = LC.of(a), LC.of(b)
+        shape = np.broadcast_shapes(a.shape, b.shape)
+        z = self.alloc(shape, name)
+        self.enforce(a, b, z)
+        terms_a, const_a = a.terms, a.const
+        terms_b, const_b = b.terms, b.const
+
+        def step(env, shape=shape):
+            bsz = env.w.shape[-1]
+            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            va = _eval_lc_mont(env, terms_a, const_a, shape, n, bsz)
+            vb = _eval_lc_mont(env, terms_b, const_b, shape, n, bsz)
+            prod = LB.mont_mul(LB.FR_SPEC, va, vb)
+            return _from_mont_dev(prod)
+
+        self.set_witness(z, step, name or "mul")
+        return z
+
+    # ------------------------------------------------------------- compile
+    def compile(self) -> "CompiledCircuit":
+        return CompiledCircuit(self)
+
+
+def _nontrivial(lc: LC) -> bool:
+    return True
+
+
+def _coeff_limbs_mont(cf_arr) -> np.ndarray:
+    vals = [F.FR.to_mont(int(c) % P) for c in cf_arr]
+    return LB.ints_to_limbs(np.array(vals, dtype=object))[:, :, None]
+
+
+def _coeff_limbs_plain(cf_arr) -> np.ndarray:
+    vals = [int(c) % P for c in cf_arr]
+    return LB.ints_to_limbs(np.array(vals, dtype=object))[:, :, None]
+
+
+def _to_mont_dev(x: jnp.ndarray) -> jnp.ndarray:
+    return LB.to_mont(LB.FR_SPEC, x)
+
+
+def _from_mont_dev(x: jnp.ndarray) -> jnp.ndarray:
+    return LB.from_mont(LB.FR_SPEC, x)
+
+
+def _eval_lc_mont(env: Env, terms, const, shape, n, bsz) -> jnp.ndarray:
+    acc = None
+    for sv_t, coeff in terms:
+        vals = env.fr(sv_t)
+        vals = jnp.broadcast_to(
+            vals, (L,) + np.broadcast_shapes(sv_t.shape, shape) + (bsz,)
+        ).reshape(L, n, bsz)
+        cf_arr = np.broadcast_to(np.asarray(coeff, dtype=object), shape).reshape(-1)
+        if all(int(c) == 1 for c in cf_arr):
+            term = _to_mont_dev(vals)
+        else:
+            # mont coeff (cR) * mont value (vR) -> cvR (stays in mont domain)
+            cl = _coeff_limbs_mont(cf_arr)
+            term = LB.mont_mul(LB.FR_SPEC, jnp.asarray(cl), _to_mont_dev(vals))
+        acc = term if acc is None else LB.add(LB.FR_SPEC, acc, term)
+    cf_arr = np.broadcast_to(np.asarray(const, dtype=object), shape).reshape(-1)
+    if any(int(x) != 0 for x in cf_arr):
+        cl = _coeff_limbs_plain(cf_arr)
+        cterm = _to_mont_dev(jnp.broadcast_to(jnp.asarray(cl), (L, n, bsz)))
+        acc = cterm if acc is None else LB.add(LB.FR_SPEC, acc, cterm)
+    if acc is None:
+        acc = jnp.zeros((L, n, bsz), dtype=jnp.int32)
+    return acc
+
+
+class CompiledCircuit:
+    """Frozen circuit: permuted R1CS (publics first) + jittable witness eval."""
+
+    def __init__(self, cs: ConstraintSystem):
+        self.name = cs.name
+        self.n_constraints = cs.n_constraints
+        self.n_signals = cs.n_signals
+        self.n_public = len(cs.public)
+        # permutation: old index -> new index; publics occupy 1..n_pub
+        perm = np.full(cs.n_signals, -1, dtype=np.int64)
+        perm[0] = 0
+        nxt = 1
+        for p in cs.public:
+            if perm[p] == -1:
+                perm[p] = nxt
+                nxt += 1
+        self.n_public = nxt - 1
+        for i in range(cs.n_signals):
+            if perm[i] == -1:
+                perm[i] = nxt
+                nxt += 1
+        self.perm = perm
+
+        def pack(mat):
+            rows = np.concatenate([r for r, _, _ in mat]) if mat else np.zeros(0, np.int64)
+            cols = np.concatenate([c for _, c, _ in mat]) if mat else np.zeros(0, np.int64)
+            cf = (
+                np.concatenate([np.asarray(v, dtype=object) for _, _, v in mat])
+                if mat
+                else np.zeros(0, dtype=object)
+            )
+            cols = perm[cols]
+            # drop zero coefficients
+            nz = np.array([int(x) % P != 0 for x in cf], dtype=bool)
+            return rows[nz], cols[nz], np.array([int(x) % P for x in cf[nz]], dtype=object)
+
+        self.A = pack(cs._mats["A"])
+        self.B = pack(cs._mats["B"])
+        self.C = pack(cs._mats["C"])
+        self.steps = cs.steps
+        self.input_bindings = cs.input_bindings
+        self._eval_jit = None
+
+    # ------------------------------------------------------------ witness
+    def eval_witness(self, inputs: dict, batch: int) -> jnp.ndarray:
+        """Compute the full witness (L, n_signals, B), permuted layout."""
+        w = jnp.zeros((L, self.n_signals, batch), dtype=jnp.int32)
+        w = w.at[0, 0, :].set(1)  # ONE
+        env = Env(w, inputs, self.perm)
+        for step in self.steps:
+            vals = step.fn(env)
+            w = w.at[:, self.perm[step.out_idx], :].set(
+                vals.reshape(L, len(step.out_idx), batch)
+            )
+            env.w = w
+        return w
+
+    def witness_fn(self):
+        """A jittable witness evaluator closed over static structure."""
+
+        def f(inputs: dict):
+            some = next(iter(inputs.values()))
+            batch = some.shape[-1]
+            return self.eval_witness(inputs, batch)
+
+        return f
+
+    # ------------------------------------------------------------ checking
+    def check_satisfied_host(self, witness_ints: np.ndarray) -> bool:
+        """Python-int R1CS satisfaction check (tests; small circuits)."""
+        w = [int(x) % P for x in witness_ints]
+
+        def eval_mat(mat):
+            rows, cols, cf = mat
+            out = [0] * self.n_constraints
+            for r, c, v in zip(rows, cols, cf):
+                out[int(r)] = (out[int(r)] + int(v) * w[int(c)]) % P
+            return out
+
+        aw, bw, cw = eval_mat(self.A), eval_mat(self.B), eval_mat(self.C)
+        for i in range(self.n_constraints):
+            if aw[i] * bw[i] % P != cw[i]:
+                return False
+        return True
+
+    def first_unsatisfied_host(self, witness_ints) -> int | None:
+        w = [int(x) % P for x in witness_ints]
+
+        def eval_mat(mat):
+            rows, cols, cf = mat
+            out = [0] * self.n_constraints
+            for r, c, v in zip(rows, cols, cf):
+                out[int(r)] = (out[int(r)] + int(v) * w[int(c)]) % P
+            return out
+
+        aw, bw, cw = eval_mat(self.A), eval_mat(self.B), eval_mat(self.C)
+        for i in range(self.n_constraints):
+            if aw[i] * bw[i] % P != cw[i]:
+                return i
+        return None

@@ -190,16 +190,67 @@ def _cond_sub_p(fs: FieldSpec, t: list) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------
-# Field ops (all inputs/outputs canonical limbs in [0, p), shape (L, ...))
+# Shape-canonicalizing jit cache.
+#
+# Every public field op flattens its batch to (L, n), pads n to a power-of-two
+# bucket, and dispatches a cached jitted kernel.  Without this, eager use (and
+# every new call-site shape) recompiles the full carry/CIOS graph — measured
+# at seconds per compile on CPU — while with it, the whole framework reuses a
+# handful of compiled kernels.  Under an outer jit the wrappers trace through
+# and inline, so jitted callers pay nothing.
 # --------------------------------------------------------------------------
 
-def add(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def _canon2(fs, a, b, kernel_cache, raw_fn):
+    batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch_shape)
+    b = jnp.broadcast_to(b, (L,) + batch_shape)
+    n = 1
+    for d in batch_shape:
+        n *= d
+    nb = _bucket(max(n, 1))
+    af = a.reshape(L, n)
+    bf = b.reshape(L, n)
+    if nb != n:
+        af = jnp.pad(af, ((0, 0), (0, nb - n)))
+        bf = jnp.pad(bf, ((0, 0), (0, nb - n)))
+    key = (fs.name, nb, raw_fn.__name__)
+    fn = kernel_cache.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(raw_fn, fs))
+        kernel_cache[key] = fn
+    out = fn(af, bf)
+    return out[:, :n].reshape((L,) + batch_shape)
+
+
+_KERNELS: dict = {}
+
+
+def _is_traced(*arrs) -> bool:
+    """True when any operand is a tracer (we're inside an outer jit)."""
+    return any(isinstance(x, jax.core.Tracer) for x in arrs)
+
+
+def _add_raw(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     t = [a[i] + b[i] for i in range(L)]
     t = _carry_propagate(t)
     return _cond_sub_p(fs, t)
 
 
-def sub(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def add(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    if _is_traced(a, b):
+        bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        return _add_raw(fs, jnp.broadcast_to(a, (L,) + bshape), jnp.broadcast_to(b, (L,) + bshape))
+    return _canon2(fs, a, b, _KERNELS, _add_raw)
+
+
+def _sub_raw(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     p = fs.p_limbs
     t = [a[i] - b[i] + int(p[i]) for i in range(L)]
     # t value in (-p, 2p) + ... actually a - b + p in (0, 2p); limbs may be negative
@@ -212,6 +263,13 @@ def sub(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         carry = (v - lo) >> W  # works for negative v too (arithmetic shift)
         out.append(lo)
     return _cond_sub_p(fs, out)
+
+
+def sub(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    if _is_traced(a, b):
+        bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        return _sub_raw(fs, jnp.broadcast_to(a, (L,) + bshape), jnp.broadcast_to(b, (L,) + bshape))
+    return _canon2(fs, a, b, _KERNELS, _sub_raw)
 
 
 def neg(fs: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -235,6 +293,14 @@ def mont_mul(
     fuse into one kernel (better runtime, slower compile) — the Pallas kernel
     in ops/ is the production path on TPU.
     """
+    if not _is_traced(a, b) and not unroll:
+        return _canon2(fs, a, b, _KERNELS, _mont_mul_raw)
+    return _mont_mul_raw(fs, a, b, unroll)
+
+
+def _mont_mul_raw(
+    fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, unroll: bool = False
+) -> jnp.ndarray:
     n0inv = fs.n0inv
     batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = jnp.broadcast_to(a, (L,) + batch_shape)
@@ -301,12 +367,33 @@ def pow_const(fs: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
         return jnp.broadcast_to(
             jnp.asarray(fs.np_r).reshape((L,) + (1,) * (a.ndim - 1)), a.shape
         )
+    if not _is_traced(a):
+        # cached-kernel dispatch keyed by (field, exponent, bucketed size)
+        batch_shape = a.shape[1:]
+        n = 1
+        for d in batch_shape:
+            n *= d
+        nb = _bucket(max(n, 1))
+        af = a.reshape(L, n)
+        if nb != n:
+            af = jnp.pad(af, ((0, 0), (0, nb - n)))
+        key = (fs.name, nb, "pow", e)
+        fn = _KERNELS.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(_pow_raw, fs, e))
+            _KERNELS[key] = fn
+        out = fn(af)
+        return out[:, :n].reshape((L,) + batch_shape)
+    return _pow_raw(fs, e, a)
+
+
+def _pow_raw(fs: FieldSpec, e: int, a: jnp.ndarray) -> jnp.ndarray:
     bits = [int(x) for x in bin(e)[2:]]
     bits_arr = jnp.asarray(np.array(bits, dtype=np.int32))
 
     def body(acc, bit):
-        acc = mont_sqr(fs, acc)
-        acc_mul = mont_mul(fs, acc, a)
+        acc = _mont_mul_raw(fs, acc, acc)
+        acc_mul = _mont_mul_raw(fs, acc, a)
         acc = select(jnp.broadcast_to(bit, acc.shape[1:]), acc_mul, acc)
         return acc, None
 
