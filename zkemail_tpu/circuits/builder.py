@@ -359,10 +359,10 @@ def _from_mont_dev(x: jnp.ndarray) -> jnp.ndarray:
 def _eval_lc_mont(env: Env, terms, const, shape, n, bsz) -> jnp.ndarray:
     acc = None
     for sv_t, coeff in terms:
-        vals = env.fr(sv_t)
-        vals = jnp.broadcast_to(
-            vals, (L,) + np.broadcast_shapes(sv_t.shape, shape) + (bsz,)
-        ).reshape(L, n, bsz)
+        vals = env.fr(sv_t)  # (L, *sv_shape, B)
+        pad = len(shape) - len(sv_t.shape)
+        vals = vals.reshape((L,) + (1,) * pad + sv_t.shape + (bsz,))
+        vals = jnp.broadcast_to(vals, (L,) + tuple(shape) + (bsz,)).reshape(L, n, bsz)
         cf_arr = np.broadcast_to(np.asarray(coeff, dtype=object), shape).reshape(-1)
         if all(int(c) == 1 for c in cf_arr):
             term = _to_mont_dev(vals)

@@ -369,113 +369,122 @@ def _rotr(x, r):
     return (x >> r) | (x << (32 - r))
 
 
-def _bits32(x):
-    """(…) uint32 -> (…, 32) int32 bits LSB-first."""
-    return jnp.stack([((x >> j) & 1).astype(jnp.int32) for j in range(32)], axis=-2 + 1 if False else -1)
+def _bits_of(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """uint32 (…, B) -> int32 (…, n, B) bits LSB-first (n <= 32), vectorized."""
+    shifts = jnp.arange(n, dtype=jnp.uint32).reshape((n,) + (1,))
+    return ((x[..., None, :] >> shifts) & 1).astype(jnp.int32)
 
 
-def _bits_n(lo, hi, n):
-    """value = lo + hi*2^32 (< 2^n), -> (…, n) bits."""
-    outs = []
-    for j in range(n):
-        if j < 32:
-            outs.append(((lo >> j) & 1).astype(jnp.int32))
-        else:
-            outs.append(((hi >> (j - 32)) & 1).astype(jnp.int32))
-    return jnp.stack(outs, axis=-1)
+def _bits_lo_hi(lo: jnp.ndarray, hi: jnp.ndarray, n: int) -> jnp.ndarray:
+    """value = lo + hi*2^32 -> (…, n, B) bits."""
+    lo_bits = _bits_of(lo, 32)
+    hi_bits = _bits_of(hi, n - 32)
+    return jnp.concatenate([lo_bits, hi_bits], axis=-2)
 
 
 def _sha_trace(init_state: jnp.ndarray, words: jnp.ndarray) -> dict:
     """Full SHA-256 trace. init_state (8, B) uint32; words (nb, 16, B) uint32.
 
-    Returns dict of int32 arrays shaped like the signal groups (plus B)."""
-    nb = words.shape[0]
+    The lax.scan body computes only word-level uint32 quantities (compact
+    graph — fast XLA compile); bit extraction for the signal groups happens
+    once, vectorized over (blocks, …), after the scan.
+    """
+
+    k_arr = jnp.asarray(np.array(K_WORDS, dtype=np.uint32))
+
+    def sched_step(window, _):
+        # window: (16, B) = w[t-16..t-1]
+        wm15, wm2, wm16, wm7 = window[1], window[14], window[0], window[9]
+        r7, r18, sh3 = _rotr(wm15, 7), _rotr(wm15, 18), wm15 >> 3
+        p1_0 = r7 & r18
+        p2_0 = (r7 ^ r18) & sh3
+        s0 = r7 ^ r18 ^ sh3
+        r17, r19, sh10 = _rotr(wm2, 17), _rotr(wm2, 19), wm2 >> 10
+        p1_1 = r17 & r19
+        p2_1 = (r17 ^ r19) & sh10
+        s1 = r17 ^ r19 ^ sh10
+        s_lo, c1 = _add_ovf(wm16, s0)
+        s_lo, c2 = _add_ovf(s_lo, wm7)
+        s_lo, c3 = _add_ovf(s_lo, s1)
+        new_window = jnp.concatenate([window[1:], s_lo[None]], axis=0)
+        return new_window, (jnp.stack([p1_0, p2_0, p1_1, p2_1]), s_lo, c1 + c2 + c3)
+
+    def round_step(st, xs):
+        a, b_, c, d, e, f, g, h = [st[i] for i in range(8)]
+        wr, kr = xs
+        r6, r11, r25 = _rotr(e, 6), _rotr(e, 11), _rotr(e, 25)
+        p1 = r6 & r11
+        p2 = (r6 ^ r11) & r25
+        sig1 = r6 ^ r11 ^ r25
+        ch = (e & f) ^ (~e & g)
+        t1_lo, c1 = _add_ovf(h, sig1)
+        t1_lo, c2 = _add_ovf(t1_lo, ch)
+        t1_lo, c3 = _add_ovf(t1_lo, kr)
+        t1_lo, c4 = _add_ovf(t1_lo, wr)
+        t1_hi = c1 + c2 + c3 + c4
+        r2, r13, r22 = _rotr(a, 2), _rotr(a, 13), _rotr(a, 22)
+        q1 = r2 & r13
+        q2 = (r2 ^ r13) & r22
+        sig0 = r2 ^ r13 ^ r22
+        mid = b_ & c
+        m2 = a & (b_ ^ c)
+        maj = (a & b_) ^ (a & c) ^ (b_ & c)
+        es_lo, ec = _add_ovf(d, t1_lo)
+        es_hi = t1_hi + ec
+        t2_lo, tc = _add_ovf(sig0, maj)
+        as_lo, ac = _add_ovf(t1_lo, t2_lo)
+        as_hi = t1_hi + tc + ac
+        new_st = jnp.stack([as_lo, a, b_, c, es_lo, e, f, g])
+        outs = (
+            jnp.stack([p1, p2]), jnp.stack([q1, q2]), e & f, e & g,
+            jnp.stack([mid, m2]), jnp.stack([es_lo, es_hi]),
+            jnp.stack([as_lo, as_hi]),
+        )
+        return new_st, outs
 
     def block_step(state, wblock):
-        # wblock: (16, B)
-        a, b_, c, d, e, f, g, h = [state[i] for i in range(8)]
-        w = [wblock[i] for i in range(16)]
-        sched_p, sched_sum = [], []
-        for i in range(48):
-            t = i + 16
-            wm15, wm2 = w[t - 15], w[t - 2]
-            r7, r18, sh3 = _rotr(wm15, 7), _rotr(wm15, 18), wm15 >> 3
-            p1_0 = (r7 & r18)
-            x12_0 = r7 ^ r18
-            p2_0 = x12_0 & sh3
-            s0 = x12_0 ^ sh3
-            r17, r19, sh10 = _rotr(wm2, 17), _rotr(wm2, 19), wm2 >> 10
-            p1_1 = r17 & r19
-            x12_1 = r17 ^ r19
-            p2_1 = x12_1 & sh10
-            s1 = x12_1 ^ sh10
-            s_lo, c1 = _add_ovf(w[t - 16], s0)
-            s_lo, c2 = _add_ovf(s_lo, w[t - 7])
-            s_lo, c3 = _add_ovf(s_lo, s1)
-            hi = c1 + c2 + c3
-            sched_p.append(jnp.stack([_bits32(p1_0), _bits32(p2_0), _bits32(p1_1), _bits32(p2_1)], axis=0))
-            sched_sum.append(_bits_n(s_lo, hi, 34))
-            w.append(s_lo)
-        sig1_p, sig0_p, ch_p, maj_p, e_sum, a_sum = [], [], [], [], [], []
-        for r in range(64):
-            r6, r11, r25 = _rotr(e, 6), _rotr(e, 11), _rotr(e, 25)
-            p1 = r6 & r11
-            x12 = r6 ^ r11
-            p2 = x12 & r25
-            sig1 = x12 ^ r25
-            ch = (e & f) ^ (~e & g)
-            # ch product signal = e&f - e&g in {-1,0,1} per bit
-            chp = (e & f) | jnp.uint32(0)
-            chn = (e & g)
-            ch_signed = _bits32(chp) - _bits32(chn)
-            t1_lo, c1 = _add_ovf(h, sig1)
-            t1_lo, c2 = _add_ovf(t1_lo, ch)
-            t1_lo, c3 = _add_ovf(t1_lo, jnp.uint32(K_WORDS[r]))
-            t1_lo, c4 = _add_ovf(t1_lo, w[r])
-            t1_hi = c1 + c2 + c3 + c4
-            r2, r13, r22 = _rotr(a, 2), _rotr(a, 13), _rotr(a, 22)
-            q1 = r2 & r13
-            y12 = r2 ^ r13
-            q2 = y12 & r22
-            sig0 = y12 ^ r22
-            mid = b_ & c
-            m2 = a & (b_ ^ c)
-            maj = (a & b_) ^ (a & c) ^ (b_ & c)
-            es_lo, ec = _add_ovf(d, t1_lo)
-            es_hi = t1_hi + ec
-            t2_lo, tc = _add_ovf(sig0, maj)
-            as_lo, ac = _add_ovf(t1_lo, t2_lo)
-            as_hi = t1_hi + tc + ac
-            sig1_p.append(jnp.stack([_bits32(p1), _bits32(p2)], axis=0))
-            sig0_p.append(jnp.stack([_bits32(q1), _bits32(q2)], axis=0))
-            ch_p.append(ch_signed)
-            maj_p.append(jnp.stack([_bits32(mid), _bits32(m2)], axis=0))
-            e_sum.append(_bits_n(es_lo, es_hi, 35))
-            a_sum.append(_bits_n(as_lo, as_hi, 35))
-            new_e = es_lo
-            new_a = as_lo
-            a, b_, c, d, e, f, g, h = new_a, a, b_, c, new_e, e, f, g
-        houts = []
-        hout_bits = []
-        fin = [a, b_, c, d, e, f, g, h]
+        _, (sp, ss_lo, ss_hi) = jax.lax.scan(sched_step, wblock, None, length=48)
+        w_all = jnp.concatenate([wblock, ss_lo], axis=0)  # (64, B)
+        kb = jnp.broadcast_to(k_arr[:, None], (64,) + wblock.shape[1:])
+        fin, (sig1_w, sig0_w, chp_w, chn_w, maj_w, es_w, as_w) = jax.lax.scan(
+            round_step, state, (w_all, kb)
+        )
+        ho_lo, ho_hi = [], []
         for wi in range(8):
             s_lo, cc = _add_ovf(state[wi], fin[wi])
-            houts.append(s_lo)
-            hout_bits.append(_bits_n(s_lo, cc, 33))
+            ho_lo.append(s_lo)
+            ho_hi.append(cc)
         out = {
-            "msg_bits": jnp.stack([_bits32(wblock[i]) for i in range(16)], axis=0),
-            "hin": jnp.stack([_bits32(state[i]) for i in range(8)], axis=0),
-            "sched_p": jnp.stack(sched_p, axis=0),
-            "sched_sum": jnp.stack(sched_sum, axis=0),
-            "sig1_p": jnp.stack(sig1_p, axis=0),
-            "sig0_p": jnp.stack(sig0_p, axis=0),
-            "ch_p": jnp.stack(ch_p, axis=0),
-            "maj_p": jnp.stack(maj_p, axis=0),
-            "e_sum": jnp.stack(e_sum, axis=0),
-            "a_sum": jnp.stack(a_sum, axis=0),
-            "hout": jnp.stack(hout_bits, axis=0),
+            "msg": wblock,
+            "hin_w": state,
+            "sched_p_w": sp,
+            "sched_lo": ss_lo,
+            "sched_hi": ss_hi,
+            "sig1_w": sig1_w,
+            "sig0_w": sig0_w,
+            "chp_w": chp_w,
+            "chn_w": chn_w,
+            "maj_w": maj_w,
+            "es_w": es_w,
+            "as_w": as_w,
+            "ho_lo": jnp.stack(ho_lo, axis=0),
+            "ho_hi": jnp.stack(ho_hi, axis=0),
         }
-        return jnp.stack(houts, axis=0), out
+        return jnp.stack(ho_lo, axis=0), out
 
-    _, traces = jax.lax.scan(block_step, init_state, words)
-    return traces
+    _, t = jax.lax.scan(block_step, init_state, words)
+
+    # vectorized bit extraction over (nb, …, B)
+    return {
+        "msg_bits": _bits_of(t["msg"], 32),
+        "hin": _bits_of(t["hin_w"], 32),
+        "sched_p": _bits_of(t["sched_p_w"], 32),
+        "sched_sum": _bits_lo_hi(t["sched_lo"], t["sched_hi"], 34),
+        "sig1_p": _bits_of(t["sig1_w"], 32),
+        "sig0_p": _bits_of(t["sig0_w"], 32),
+        "ch_p": _bits_of(t["chp_w"], 32) - _bits_of(t["chn_w"], 32),
+        "maj_p": _bits_of(t["maj_w"], 32),
+        "e_sum": _bits_lo_hi(t["es_w"][:, :, 0], t["es_w"][:, :, 1], 35),
+        "a_sum": _bits_lo_hi(t["as_w"][:, :, 0], t["as_w"][:, :, 1], 35),
+        "hout": _bits_lo_hi(t["ho_lo"], t["ho_hi"], 33),
+    }
