@@ -1,0 +1,113 @@
+"""NTT and MSM kernels vs Python-int references."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from zkemail_tpu.core import curve_jax as CJ
+from zkemail_tpu.core import field as F
+from zkemail_tpu.core import limbs as LB
+from zkemail_tpu.core.curve import G1
+from zkemail_tpu.ops import msm as MSM
+from zkemail_tpu.ops import ntt as NTT
+
+P = F.R
+RNG = random.Random(7)
+
+
+def to_mont_arr(vals):
+    return jnp.asarray(
+        LB.ints_to_limbs(np.array([F.FR.to_mont(v % P) for v in vals], dtype=object))
+    )
+
+
+def from_mont_arr(arr):
+    ints = LB.limbs_to_ints(np.asarray(arr))
+    return [F.FR.from_mont(int(v)) for v in ints]
+
+
+def naive_ntt(vals, inverse=False):
+    n = len(vals)
+    log_n = n.bit_length() - 1
+    w = F.fr_nth_root(log_n)
+    if inverse:
+        w = pow(w, P - 2, P)
+    out = [sum(vals[j] * pow(w, i * j, P) for j in range(n)) % P for i in range(n)]
+    if inverse:
+        ninv = pow(n, P - 2, P)
+        out = [x * ninv % P for x in out]
+    return out
+
+
+def test_ntt_roundtrip_and_reference():
+    n = 16
+    vals = [RNG.randrange(P) for _ in range(n)]
+    dev = to_mont_arr(vals)
+    fwd = NTT.ntt(dev)
+    assert from_mont_arr(fwd) == naive_ntt(vals)
+    back = NTT.ntt(fwd, inverse=True)
+    assert from_mont_arr(back) == vals
+
+
+def test_coset_roundtrip():
+    n = 32
+    vals = [RNG.randrange(P) for _ in range(n)]
+    dev = to_mont_arr(vals)
+    ev = NTT.coset_ntt(dev)
+    back = NTT.coset_intt(ev)
+    assert from_mont_arr(back) == vals
+
+
+def test_polynomial_mul_via_coset():
+    # (sanity for the h-poly pipeline): eval-multiply-interp == schoolbook
+    n = 8
+    a = [RNG.randrange(P) for _ in range(n // 2)] + [0] * (n // 2)
+    b = [RNG.randrange(P) for _ in range(n // 2)] + [0] * (n // 2)
+    ea, eb = NTT.ntt(to_mont_arr(a)), NTT.ntt(to_mont_arr(b))
+    prod = LB.mont_mul(LB.FR_SPEC, ea, eb)
+    coeffs = from_mont_arr(NTT.ntt(prod, inverse=True))
+    expect = [0] * n
+    for i, ai in enumerate(a[: n // 2]):
+        for j, bj in enumerate(b[: n // 2]):
+            expect[(i + j) % n] = (expect[(i + j) % n] + ai * bj) % P
+    assert coeffs == expect
+
+
+def test_msm_small():
+    n = 23
+    g = G1.generator()
+    base_pts = [g.mul(RNG.randrange(1, 1000)) for _ in range(n)]
+    scalars = [RNG.randrange(P) for _ in range(n)]
+    scalars[3] = 0
+    expect = G1.identity()
+    for s, pt in zip(scalars, base_pts):
+        expect = expect.add(pt.mul(s))
+
+    pts_dev = MSM.points_from_affine_ints(
+        CJ.FQ_OPS,
+        [p.x for p in base_pts],
+        [p.y for p in base_pts],
+    )
+    sc_dev = jnp.asarray(LB.ints_to_limbs(np.array(scalars, dtype=object)))
+    res = MSM.msm(CJ.FQ_OPS, pts_dev, sc_dev, chunk=4)
+    aff = CJ.ec_to_affine(CJ.FQ_OPS, res)
+    fq = CJ.FQ_OPS
+    if bool(np.asarray(aff["inf"])):
+        got = G1.identity()
+    else:
+        got = G1(int(fq.to_ints(aff["x"])), int(fq.to_ints(aff["y"])))
+    assert got == expect
+
+
+def test_msm_identity_points_and_zero_scalars():
+    n = 8
+    g = G1.generator()
+    pts = [g.mul(i + 1) for i in range(n)]
+    scalars = [0] * n
+    pts_dev = MSM.points_from_affine_ints(
+        CJ.FQ_OPS, [p.x for p in pts], [p.y for p in pts]
+    )
+    sc_dev = jnp.asarray(LB.ints_to_limbs(np.array(scalars, dtype=object)))
+    res = MSM.msm(CJ.FQ_OPS, pts_dev, sc_dev, chunk=2)
+    assert bool(np.asarray(CJ.ec_is_identity(CJ.FQ_OPS, res)))

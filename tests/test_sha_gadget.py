@@ -16,13 +16,13 @@ from zkemail_tpu.core import limbs as LB
 from zkemail_tpu.helpers import sha_utils as SU
 
 
-def digest_from_bits(vals, digest_sv):
+def digest_from_bits(cc, vals, digest_sv):
     """Reconstruct digest bytes from (8, 32) LSB-first bit signal values."""
     out = b""
     for wi in range(8):
         word = 0
         for j in range(32):
-            word |= int(vals[int(digest_sv.idx[wi, j])]) << j
+            word |= int(vals[int(cc.perm[digest_sv.idx[wi, j]])]) << j
         out += word.to_bytes(4, "big")
     return out
 
@@ -75,7 +75,7 @@ def test_sha256_bytes_matches_hashlib(max_len):
     cc, w, digest_sv, expected = build_and_run(max_len, msgs)
     for b, exp in enumerate(expected):
         vals = [int(v) for v in LB.limbs_to_ints(np.asarray(w[:, :, b]))]
-        got = digest_from_bits(vals, digest_sv)
+        got = digest_from_bits(cc, vals, digest_sv)
         assert got == exp, f"batch {b}: {got.hex()} != {exp.hex()}"
         assert cc.check_satisfied_host(vals), f"R1CS unsatisfied for batch {b}"
 
@@ -97,6 +97,6 @@ def test_sha256_partial_midstate():
         128, msgs, use_partial=True, prefix_blocks=1
     )
     vals = [int(v) for v in LB.limbs_to_ints(np.asarray(w[:, :, 0]))]
-    got = digest_from_bits(vals, digest_sv)
+    got = digest_from_bits(cc, vals, digest_sv)
     assert got == expected[0]
     assert cc.check_satisfied_host(vals)

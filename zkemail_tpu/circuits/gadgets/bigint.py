@@ -131,15 +131,14 @@ def fp_mul(
             powers[x, j] = acc
             acc = acc * x % P
 
-    def eval_lc(limbs: SignalVec, x: int) -> LC:
-        return LC([(limbs, powers[x])]) if False else LC(
-            [(limbs[j], powers[x][j]) for j in range(k)]
-        )
+    def eval_all(limbs: SignalVec) -> LC:
+        """(n_pts,)-shaped LC: evaluation of the limb polynomial at every point."""
+        return LC([(limbs[j], powers[:, j]) for j in range(k)])
 
-    vab, vqm = [], []
-    for x in range(n_pts):
-        vab.append(cs.mul(eval_lc(a, x), eval_lc(b, x), "fpmul_vab"))
-        vqm.append(cs.mul(eval_lc(q, x), eval_lc(modulus, x), "fpmul_vqm"))
+    vab_all = cs.mul(eval_all(a), eval_all(b), "fpmul_vab")  # (n_pts,)
+    vqm_all = cs.mul(eval_all(q), eval_all(modulus), "fpmul_vqm")
+    vab = [vab_all[x] for x in range(n_pts)]
+    vqm = [vqm_all[x] for x in range(n_pts)]
 
     M = _interp_matrix(n_pts)
     d_lcs = []

@@ -30,6 +30,20 @@ class FqOps:
     def mul(self, a, b):
         return LB.mont_mul(self.fs, a, b)
 
+    def mul_pack(self, pairs):
+        """Batch independent products into ONE Montgomery multiply.
+
+        Key to compact scan bodies (one fused CIOS instead of nested loops)
+        and full VPU lanes in the EC formulas."""
+        shape = None
+        for a, b in pairs:
+            s = jnp.broadcast_shapes(a.shape, b.shape)
+            shape = s if shape is None else jnp.broadcast_shapes(shape, s)
+        a_st = jnp.stack([jnp.broadcast_to(a, shape) for a, _ in pairs], axis=1)
+        b_st = jnp.stack([jnp.broadcast_to(b, shape) for _, b in pairs], axis=1)
+        out = LB.mont_mul(self.fs, a_st, b_st)
+        return [out[:, i] for i in range(len(pairs))]
+
     def sqr(self, a):
         return LB.mont_mul(self.fs, a, a)
 
@@ -101,6 +115,32 @@ class Fq2Ops:
         c0 = LB.sub(self.fs, t0, t1)
         c1 = LB.sub(self.fs, LB.sub(self.fs, s, t0), t1)
         return (c0, c1)
+
+    def mul_pack(self, pairs):
+        """Karatsuba-batched Fq2 products: one Fq multiply for all pairs."""
+        fq_pairs = []
+        shape = None
+        for (a0, a1), (b0, b1) in pairs:
+            s = jnp.broadcast_shapes(a0.shape, b0.shape)
+            shape = s if shape is None else jnp.broadcast_shapes(shape, s)
+        for (a0, a1), (b0, b1) in pairs:
+            sa = LB.add(self.fs, a0, a1)
+            sb = LB.add(self.fs, b0, b1)
+            fq_pairs += [
+                (jnp.broadcast_to(a0, shape), jnp.broadcast_to(b0, shape)),
+                (jnp.broadcast_to(a1, shape), jnp.broadcast_to(b1, shape)),
+                (jnp.broadcast_to(sa, shape), jnp.broadcast_to(sb, shape)),
+            ]
+        a_st = jnp.stack([p[0] for p in fq_pairs], axis=1)
+        b_st = jnp.stack([p[1] for p in fq_pairs], axis=1)
+        out = LB.mont_mul(self.fs, a_st, b_st)
+        res = []
+        for i in range(len(pairs)):
+            t0, t1, s = out[:, 3 * i], out[:, 3 * i + 1], out[:, 3 * i + 2]
+            c0 = LB.sub(self.fs, t0, t1)
+            c1 = LB.sub(self.fs, LB.sub(self.fs, s, t0), t1)
+            res.append((c0, c1))
+        return res
 
     def sqr(self, a):
         a0, a1 = a
@@ -207,66 +247,66 @@ def ec_select(ops, cond, p, q):
 
 
 def ec_add(ops, p, q):
-    """Complete projective addition, RCB Algorithm 7 (a=0, 12M + b3 muls)."""
+    """Complete projective addition, RCB Algorithm 7 (a=0).
+
+    Restructured into two *batched* multiplication waves (6 independent
+    products each) via ops.mul_pack — one fused CIOS per wave instead of 12
+    sequential multiplies: far smaller scan bodies and full VPU lanes.
+    """
     x1, y1, z1 = p["x"], p["y"], p["z"]
     x2, y2, z2 = q["x"], q["y"], q["z"]
-    t0 = ops.mul(x1, x2)
-    t1 = ops.mul(y1, y2)
-    t2 = ops.mul(z1, z2)
-    t3 = ops.add(x1, y1)
-    t4 = ops.add(x2, y2)
-    t3 = ops.mul(t3, t4)
-    t4 = ops.add(t0, t1)
-    t3 = ops.sub(t3, t4)
-    t4 = ops.add(y1, z1)
-    x3 = ops.add(y2, z2)
-    t4 = ops.mul(t4, x3)
-    x3 = ops.add(t1, t2)
-    t4 = ops.sub(t4, x3)
-    x3 = ops.add(x1, z1)
-    y3 = ops.add(x2, z2)
-    x3 = ops.mul(x3, y3)
-    y3 = ops.add(t0, t2)
-    y3 = ops.sub(x3, y3)
-    x3 = ops.add(t0, t0)
-    t0 = ops.add(x3, t0)
-    t2 = ops.mul_b3(t2)
-    z3 = ops.add(t1, t2)
-    t1 = ops.sub(t1, t2)
-    y3 = ops.mul_b3(y3)
-    x3 = ops.mul(t4, y3)
-    t2 = ops.mul(t3, t1)
-    x3 = ops.sub(t2, x3)
-    y3 = ops.mul(y3, t0)
-    t1 = ops.mul(t1, z3)
-    y3 = ops.add(t1, y3)
-    t0 = ops.mul(t0, t3)
-    z3 = ops.mul(z3, t4)
-    z3 = ops.add(z3, t0)
+    # wave 1: all products of the input coordinates
+    t0, t1, t2, m3, m4, m5 = ops.mul_pack(
+        [
+            (x1, x2),
+            (y1, y2),
+            (z1, z2),
+            (ops.add(x1, y1), ops.add(x2, y2)),
+            (ops.add(y1, z1), ops.add(y2, z2)),
+            (ops.add(x1, z1), ops.add(x2, z2)),
+        ]
+    )
+    t3 = ops.sub(ops.sub(m3, t0), t1)  # X1Y2 + Y1X2
+    t4 = ops.sub(ops.sub(m4, t1), t2)  # Y1Z2 + Z1Y2
+    f5 = ops.sub(ops.sub(m5, t0), t2)  # X1Z2 + Z1X2
+    t0_3 = ops.add(ops.add(t0, t0), t0)  # 3 X1X2
+    t2_b3 = ops.mul_b3(t2)
+    y3_b3 = ops.mul_b3(f5)
+    z3a = ops.add(t1, t2_b3)
+    t1m = ops.sub(t1, t2_b3)
+    # wave 2
+    a1, a2, a3, a4, a5, a6 = ops.mul_pack(
+        [
+            (t4, y3_b3),
+            (t3, t1m),
+            (y3_b3, t0_3),
+            (t1m, z3a),
+            (t0_3, t3),
+            (z3a, t4),
+        ]
+    )
+    x3 = ops.sub(a2, a1)
+    y3 = ops.add(a4, a3)
+    z3 = ops.add(a6, a5)
     return {"x": x3, "y": y3, "z": z3}
 
 
 def ec_double(ops, p):
-    """Complete projective doubling, RCB Algorithm 9 (a=0, 6M+2S)."""
+    """Complete projective doubling, RCB Algorithm 9 (a=0), batched waves."""
     x, y, z = p["x"], p["y"], p["z"]
-    t0 = ops.sqr(y)
-    z3 = ops.add(t0, t0)
-    z3 = ops.add(z3, z3)
-    z3 = ops.add(z3, z3)
-    t1 = ops.mul(y, z)
-    t2 = ops.sqr(z)
-    t2 = ops.mul_b3(t2)
-    x3 = ops.mul(t2, z3)
-    y3 = ops.add(t0, t2)
-    z3 = ops.mul(t1, z3)
-    t1 = ops.add(t2, t2)
-    t2 = ops.add(t1, t2)
-    t0 = ops.sub(t0, t2)
-    y3 = ops.mul(t0, y3)
-    y3 = ops.add(x3, y3)
-    t1 = ops.mul(x, y)
-    x3 = ops.mul(t0, t1)
-    x3 = ops.add(x3, x3)
+    t0, t1, t2, txy = ops.mul_pack([(y, y), (y, z), (z, z), (x, y)])
+    z3a = ops.add(t0, t0)
+    z3a = ops.add(z3a, z3a)
+    z3a = ops.add(z3a, z3a)  # 8 Y^2
+    t2b = ops.mul_b3(t2)
+    y3s = ops.add(t0, t2b)
+    t0m = ops.sub(ops.sub(ops.sub(t0, t2b), t2b), t2b)  # t0 - 3*b3*Z^2
+    m1, m2, m3, m4 = ops.mul_pack(
+        [(t2b, z3a), (t1, z3a), (t0m, y3s), (t0m, txy)]
+    )
+    y3 = ops.add(m1, m3)
+    x3 = ops.add(m4, m4)
+    z3 = m2
     return {"x": x3, "y": y3, "z": z3}
 
 

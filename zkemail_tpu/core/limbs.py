@@ -293,7 +293,7 @@ def mont_mul(
     fuse into one kernel (better runtime, slower compile) — the Pallas kernel
     in ops/ is the production path on TPU.
     """
-    if not _is_traced(a, b) and not unroll:
+    if not _is_traced(a, b):
         return _canon2(fs, a, b, _KERNELS, _mont_mul_raw)
     return _mont_mul_raw(fs, a, b, unroll)
 
@@ -305,6 +305,24 @@ def _mont_mul_raw(
     batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = jnp.broadcast_to(a, (L,) + batch_shape)
     b = jnp.broadcast_to(b, (L,) + batch_shape)
+    p_ints = [int(x) for x in fs.p_limbs]
+
+    if unroll:
+        # straight-line per-limb arithmetic: no scatters/concats, so XLA
+        # fuses the whole CIOS into one elementwise kernel
+        b_l = [b[j] for j in range(L)]
+        t = [jnp.zeros(batch_shape, dtype=jnp.int32) for _ in range(L + 1)]
+        for i in range(L):
+            ai = a[i]
+            t = [t[j] + ai * b_l[j] for j in range(L)] + [t[L]]
+            m = ((t[0] & MASK) * n0inv) & MASK
+            t = [t[j] + m * p_ints[j] for j in range(L)] + [t[L]]
+            carry = t[0] >> W  # low W bits are zero by construction
+            t = t[1:] + [jnp.zeros(batch_shape, dtype=jnp.int32)]
+            t[0] = t[0] + carry
+        t = _carry_propagate(t)
+        return _cond_sub_p(fs, t[:L])
+
     p_col = jnp.asarray(fs.np_p).reshape((L,) + (1,) * len(batch_shape))
     zero_row = jnp.zeros((1,) + batch_shape, dtype=jnp.int32)
 
@@ -319,12 +337,7 @@ def _mont_mul_raw(
         return t, None
 
     t0 = jnp.zeros((L + 1,) + batch_shape, dtype=jnp.int32)
-    if unroll:
-        t = t0
-        for i in range(L):
-            t, _ = step(t, a[i])
-    else:
-        t, _ = jax.lax.scan(step, t0, a)
+    t, _ = jax.lax.scan(step, t0, a)
     t = _carry_propagate([t[i] for i in range(L + 1)])
     # value < 2p < 2^255, so limb L is zero after propagation
     return _cond_sub_p(fs, t[:L])

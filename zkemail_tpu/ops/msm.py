@@ -1,0 +1,338 @@
+"""Pippenger multi-scalar multiplication on TPU.
+
+The heavy half of Groth16 proving (the role wasmcurves MSM plays under
+snarkjs.groth16.fullProve, packages/helpers/src/chunked-zkey.ts:76-91),
+redesigned for static shapes + VPU lanes:
+
+  * signed 8-bit windows (32 windows, 128 buckets each) — digits extracted
+    from the 12-bit limb representation on device;
+  * bucket accumulation as a lax.scan over point chunks: T parallel "threads"
+    each own a private (windows x buckets) table; every scan step does ONE
+    batched complete EC add across (windows * T) lanes — no data-dependent
+    branching, identity handled by the complete RCB formulas;
+  * tree-reduce over threads, running-sum bucket reduction, Horner combine.
+
+Multi-chip: points/threads shard along T; bucket tables psum-reduce over the
+mesh (parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import curve_jax as CJ
+from ..core import field as F
+from ..core import limbs as LB
+from ..utils.scan import maybe_scan
+
+L = F.LIMBS
+C_BITS = 8
+N_WINDOWS = 32
+N_BUCKETS = 1 << (C_BITS - 1)  # 128 (signed digits, |d| in 1..128)
+
+
+def extract_signed_digits(scalars: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, n) standard-form Fr scalars -> signed digit magnitudes and signs.
+
+    Returns (mag, neg): int32 (N_WINDOWS, n) with mag in 0..128; neg in {0,1}.
+    Digit value is  (1-2*neg) * mag;  mag==0 means skip.
+    """
+    n = scalars.shape[1]
+    digits = []
+    for w in range(N_WINDOWS):
+        off = w * C_BITS
+        limb, sh = divmod(off, F.LIMB_BITS)
+        lo = scalars[limb] >> sh
+        need = C_BITS - (F.LIMB_BITS - sh)
+        val = lo
+        if need > 0 and limb + 1 < L:
+            val = val | (scalars[limb + 1] << (F.LIMB_BITS - sh))
+        digits.append(val & ((1 << C_BITS) - 1))
+    d = jnp.stack(digits, axis=0)  # (W, n), unsigned 0..255
+
+    def recode(carry, dw):
+        dw = dw + carry
+        over = (dw > 128).astype(jnp.int32)
+        signed = dw - 256 * over
+        return over, signed
+
+    _, signed = jax.lax.scan(recode, jnp.zeros((n,), jnp.int32), d)
+    neg = (signed < 0).astype(jnp.int32)
+    mag = jnp.abs(signed)
+    return mag, neg
+
+
+def _slice_pt(pt, sl):
+    """Slice a point pytree along the first batch axis (after limb axis)."""
+
+    def f(coord):
+        if isinstance(coord, tuple):
+            return tuple(c[(slice(None),) + sl] for c in coord)
+        return coord[(slice(None),) + sl]
+
+    return {k: f(v) for k, v in pt.items()}
+
+
+def msm(ops, points, scalars: jnp.ndarray, chunk: int = 0):
+    """sum_i scalars[i] * points[i].
+
+    ops: CJ.FQ_OPS (G1) or CJ.FQ2_OPS (G2).
+    points: projective point pytree with batch shape (n,) — use
+            points_from_affine to build it.
+    scalars: (L, n) standard-form Fr limb array.
+    chunk:  thread count T (0 -> auto).
+    Returns a single projective point (batch shape ()).
+    """
+    n = scalars.shape[1]
+    t_threads = chunk or max(1, min(512, n // 4 or 1))
+    n_pad = ((n + t_threads - 1) // t_threads) * t_threads
+    pad = n_pad - n
+
+    mag, neg = extract_signed_digits(scalars)
+    if pad:
+        mag = jnp.pad(mag, ((0, 0), (0, pad)))
+        neg = jnp.pad(neg, ((0, 0), (0, pad)))
+        points = _pad_points(ops, points, pad)
+
+    steps = n_pad // t_threads
+    # reshape to (W, steps, T) / points to (steps, T)
+    mag = mag.reshape(N_WINDOWS, steps, t_threads)
+    neg = neg.reshape(N_WINDOWS, steps, t_threads)
+    pts_steps = _reshape_points(ops, points, (steps, t_threads))
+
+    buckets = CJ.ec_identity(ops, (N_WINDOWS, N_BUCKETS, t_threads))
+
+    def scan_body(bkts, xs):
+        mg, ng, pt = xs  # mg/ng: (W, T); pt: batch (T,)
+        # broadcast point across windows, negate where needed
+        ptw = _broadcast_point(ops, pt, (N_WINDOWS, t_threads))
+        ptw = CJ.ec_select(ops, jnp.broadcast_to(ng == 1, (N_WINDOWS, t_threads)), CJ.ec_neg(ops, ptw), ptw)
+        bidx = jnp.maximum(mg - 1, 0)  # (W, T)
+        cur = _gather_buckets(ops, bkts, bidx)
+        added = CJ.ec_add(ops, cur, ptw)
+        keep = mg == 0
+        new = CJ.ec_select(ops, keep, cur, added)
+        bkts = _scatter_buckets(ops, bkts, bidx, new)
+        return bkts, None
+
+    pts_scan = _map_coords(pts_steps, lambda c: jnp.moveaxis(c, 1, 0))  # (steps, L, T)
+    buckets, _ = maybe_scan(
+        scan_body,
+        buckets,
+        (jnp.moveaxis(mag, 1, 0), jnp.moveaxis(neg, 1, 0), pts_scan),
+    )
+
+    # reduce threads: pairwise tree over T axis (axis index 2 of batch)
+    tt = t_threads
+    while tt > 1:
+        half = tt // 2
+        a = _index_pt(ops, buckets, (slice(None), slice(None), slice(0, half)))
+        b = _index_pt(ops, buckets, (slice(None), slice(None), slice(half, 2 * half)))
+        s = CJ.ec_add(ops, a, b)
+        if tt % 2:
+            rest = _index_pt(ops, buckets, (slice(None), slice(None), slice(2 * half, tt)))
+            s = _concat_pt(ops, s, rest, axis=2)
+            tt = half + 1
+        else:
+            tt = half
+        buckets = s
+    buckets = _index_pt(ops, buckets, (slice(None), slice(None), 0))  # (W, B)
+
+    # running-sum bucket reduction: S_w = sum_b (b+1) * bucket[b]
+    def bucket_body(carry, bkt):
+        run, total = carry
+        run = CJ.ec_add(ops, run, bkt)
+        total = CJ.ec_add(ops, total, run)
+        return (run, total), None
+
+    ident_w = CJ.ec_identity(ops, (N_WINDOWS,))
+    rev = _reverse_pt_axis(ops, buckets, axis=1)
+    (run, total), _ = maybe_scan(
+        bucket_body, (ident_w, ident_w), _move_pt_axis(ops, rev, 1, 0)
+    )
+
+    # Horner combine over windows: res = sum_w 2^(8w) S_w
+    res = _index_pt(ops, total, (N_WINDOWS - 1,))
+    for w in range(N_WINDOWS - 2, -1, -1):
+        for _ in range(C_BITS):
+            res = CJ.ec_double(ops, res)
+        res = CJ.ec_add(ops, res, _index_pt(ops, total, (w,)))
+    return res
+
+
+# ---------------------------------------------------------------------------
+# point pytree utilities (coords are (L, ...) arrays or tuples of them)
+# ---------------------------------------------------------------------------
+
+def _map_coords(pt, f):
+    out = {}
+    for k, v in pt.items():
+        out[k] = tuple(f(c) for c in v) if isinstance(v, tuple) else f(v)
+    return out
+
+
+def _pad_points(ops, pt, pad):
+    return _map_coords(pt, lambda c: jnp.pad(c, ((0, 0), (0, pad))))
+
+
+def _reshape_points(ops, pt, shape):
+    return _map_coords(pt, lambda c: c.reshape((L,) + shape))
+
+
+def _broadcast_point(ops, pt, shape):
+    return _map_coords(pt, lambda c: jnp.broadcast_to(c[:, None, ...], (L,) + shape))
+
+
+def _index_pt(ops, pt, sl):
+    if not isinstance(sl, tuple):
+        sl = (sl,)
+    return _map_coords(pt, lambda c: c[(slice(None),) + sl])
+
+
+def _concat_pt(ops, a, b, axis):
+    return {
+        k: (
+            tuple(jnp.concatenate([x, y], axis=axis + 1) for x, y in zip(a[k], b[k]))
+            if isinstance(a[k], tuple)
+            else jnp.concatenate([a[k], b[k]], axis=axis + 1)
+        )
+        for k in a
+    }
+
+
+def _reverse_pt_axis(ops, pt, axis):
+    return _map_coords(pt, lambda c: jnp.flip(c, axis=axis + 1))
+
+
+def _move_pt_axis(ops, pt, src, dst):
+    return _map_coords(pt, lambda c: jnp.moveaxis(c, src + 1, dst))
+
+
+def _gather_buckets(ops, bkts, bidx):
+    """bkts batch (W, NB, T); bidx (W, T) -> batch (W, T)."""
+
+    def g(c):
+        # c: (L, W, NB, T)
+        return jnp.take_along_axis(c, bidx[None, :, None, :], axis=2)[:, :, 0, :]
+
+    return _map_coords(bkts, g)
+
+
+def _scatter_buckets(ops, bkts, bidx, new):
+    w_idx = jnp.arange(N_WINDOWS)[:, None]
+    t_idx = jnp.arange(bidx.shape[1])[None, :]
+
+    def s(c, nc):
+        return c.at[:, w_idx, bidx, t_idx].set(nc)
+
+    out = {}
+    for k in bkts:
+        if isinstance(bkts[k], tuple):
+            out[k] = tuple(s(c, nc) for c, nc in zip(bkts[k], new[k]))
+        else:
+            out[k] = s(bkts[k], new[k])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base batched scalar multiplication (setup / CRS generation)
+# ---------------------------------------------------------------------------
+
+def extract_digits_unsigned(scalars: jnp.ndarray) -> jnp.ndarray:
+    """(L, n) standard Fr limbs -> (N_WINDOWS, n) unsigned 8-bit digits."""
+    digits = []
+    for w in range(N_WINDOWS):
+        off = w * C_BITS
+        limb, sh = divmod(off, F.LIMB_BITS)
+        val = scalars[limb] >> sh
+        if C_BITS - (F.LIMB_BITS - sh) > 0 and limb + 1 < L:
+            val = val | (scalars[limb + 1] << (F.LIMB_BITS - sh))
+        digits.append(val & ((1 << C_BITS) - 1))
+    return jnp.stack(digits, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _fb_table_host(kind: str):
+    """(N_WINDOWS, 256) table of base * (d << 8w) as host points."""
+    from ..core.curve import G1, G2
+
+    base = G1.generator() if kind == "g1" else G2.generator()
+    ident = G1.identity() if kind == "g1" else G2.identity()
+    table = []
+    step = base
+    for w in range(N_WINDOWS):
+        row = [ident]
+        for d in range(1, 256):
+            row.append(row[-1].add(step))
+        table.append(row)
+        step = row[-1].add(step)  # base * (256 << 8w) = base * (1 << 8(w+1))
+    return table
+
+
+@functools.lru_cache(maxsize=None)
+def _fb_table_dev(kind: str):
+    table = _fb_table_host(kind)
+    flat = [p for row in table for p in row]
+    if kind == "g1":
+        pts = points_from_affine_ints(
+            CJ.FQ_OPS,
+            [p.x if not p.inf else 0 for p in flat],
+            [p.y if not p.inf else 1 for p in flat],
+            [p.inf for p in flat],
+        )
+    else:
+        pts = g2_points_from_affine(
+            [0 if p.inf else p.x.c0 for p in flat],
+            [0 if p.inf else p.x.c1 for p in flat],
+            [1 if p.inf else p.y.c0 for p in flat],
+            [0 if p.inf else p.y.c1 for p in flat],
+            [p.inf for p in flat],
+        )
+    return _map_coords(pts, lambda c: c.reshape(L, N_WINDOWS, 256))
+
+
+def fixed_base_batch(kind: str, scalars: list) -> dict:
+    """[s_0..s_{n-1}] -> projective points s_i * G  (G1 or G2 generator).
+
+    32 batched complete additions over n lanes (one per window).
+    """
+    ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
+    sc = jnp.asarray(LB.ints_to_limbs(np.array([s % F.R for s in scalars], dtype=object)))
+    digits = extract_digits_unsigned(sc)  # (W, n)
+    table = _fb_table_dev(kind)
+    n = len(scalars)
+    acc = CJ.ec_identity(ops, (n,))
+    for w in range(N_WINDOWS):
+        sel = _map_coords(table, lambda c: c[:, w, :][:, digits[w]])
+        acc = CJ.ec_add(ops, acc, sel)
+    return acc
+
+
+def points_from_affine_ints(ops, xs, ys, infs=None):
+    """Host helper: affine integer coordinate arrays -> projective pytree."""
+    n = len(xs)
+    if ops is CJ.FQ_OPS:
+        x = ops.from_ints(xs)
+        y = ops.from_ints([1 if (infs and infs[i]) else ys[i] for i in range(n)]) if infs else ops.from_ints(ys)
+        z = ops.from_ints([0 if (infs and infs[i]) else 1 for i in range(n)])
+        if infs:
+            x = jnp.where(jnp.asarray(infs)[None, :], 0, x)
+        return {"x": x, "y": y, "z": z}
+    raise NotImplementedError("use g2_points_from_affine for G2")
+
+
+def g2_points_from_affine(xs0, xs1, ys0, ys1, infs=None):
+    fq = CJ.FQ_OPS
+    n = len(xs0)
+    infs = infs or [False] * n
+    x0 = fq.from_ints([0 if infs[i] else xs0[i] for i in range(n)])
+    x1 = fq.from_ints([0 if infs[i] else xs1[i] for i in range(n)])
+    y0 = fq.from_ints([1 if infs[i] else ys0[i] for i in range(n)])
+    y1 = fq.from_ints([0 if infs[i] else ys1[i] for i in range(n)])
+    z0 = fq.from_ints([0 if infs[i] else 1 for i in range(n)])
+    z1 = fq.from_ints([0] * n)
+    return {"x": (x0, x1), "y": (y0, y1), "z": (z0, z1)}

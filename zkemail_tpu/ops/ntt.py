@@ -1,0 +1,134 @@
+"""Radix-2 NTT over BN254 Fr (limb vector core).
+
+The polynomial engine under Groth16's QAP division (the role snarkjs'
+wasmcurves FFT plays in the reference prove path,
+packages/helpers/src/chunked-zkey.ts:76-91).
+
+Design: iterative Cooley-Tukey, stage twiddles precomputed host-side in
+Montgomery form; each stage is a reshape + one batched mont_mul + add/sub on
+(L, n/2) arrays — log2(n) fused VPU passes, no data-dependent control flow.
+Multi-chip: stages whose butterflies span shards exchange via all_to_all in
+parallel/sharding.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import field as F
+from ..core import limbs as LB
+
+L = F.LIMBS
+P = F.R
+FS = LB.FR_SPEC
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(log_n: int, inverse: bool):
+    """Montgomery-form twiddle limb arrays per stage.
+
+    Stage s (m = 2^(s+1)) uses w_m^j for j < m/2, laid out per butterfly
+    position across the n/2 pairs."""
+    n = 1 << log_n
+    w = F.fr_nth_root(log_n)
+    if inverse:
+        w = pow(w, P - 2, P)
+    out = []
+    for s in range(log_n):
+        m = 1 << (s + 1)
+        wm = pow(w, n // m, P)
+        tw = []
+        acc = 1
+        for j in range(m // 2):
+            tw.append(F.FR.to_mont(acc))
+            acc = acc * wm % P
+        out.append(LB.ints_to_limbs(np.array(tw, dtype=object)))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_reverse_perm(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        b = 0
+        x = i
+        for _ in range(log_n):
+            b = (b << 1) | (x & 1)
+            x >>= 1
+        rev[i] = b
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _n_inv_mont(log_n: int) -> np.ndarray:
+    n_inv = pow(1 << log_n, P - 2, P)
+    return LB.ints_to_limbs(np.array([F.FR.to_mont(n_inv)], dtype=object))[:, 0]
+
+
+def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """NTT/iNTT of (L, n) Montgomery-form Fr values, n a power of two."""
+    n = values.shape[1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    x = values[:, _bit_reverse_perm(log_n)]
+    tws = _stage_twiddles(log_n, inverse)
+    for s in range(log_n):
+        m = 1 << (s + 1)
+        half = m // 2
+        xr = x.reshape(L, n // m, m)
+        even = xr[:, :, :half]
+        odd = xr[:, :, half:]
+        tw = jnp.asarray(tws[s])[:, None, :]  # (L, 1, half)
+        t = LB.mont_mul(FS, odd, jnp.broadcast_to(tw, odd.shape))
+        x = jnp.concatenate(
+            [LB.add(FS, even, t), LB.sub(FS, even, t)], axis=2
+        ).reshape(L, n)
+    if inverse:
+        ninv = jnp.asarray(_n_inv_mont(log_n))[:, None]
+        x = LB.mont_mul(FS, x, jnp.broadcast_to(ninv, x.shape))
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_powers(log_n: int, inverse: bool):
+    """Montgomery powers of the coset shift g (or g^-1)."""
+    n = 1 << log_n
+    g = F.FR_MULT_GENERATOR
+    if inverse:
+        g = pow(g, P - 2, P)
+    pw = []
+    acc = 1
+    for _ in range(n):
+        pw.append(F.FR.to_mont(acc))
+        acc = acc * g % P
+    return LB.ints_to_limbs(np.array(pw, dtype=object))
+
+
+def coset_scale(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Multiply coefficient i by g^i (or g^-i) — coset evaluation shift."""
+    n = values.shape[1]
+    log_n = n.bit_length() - 1
+    pw = jnp.asarray(_coset_powers(log_n, inverse))
+    return LB.mont_mul(FS, values, pw)
+
+
+def coset_ntt(coeffs: jnp.ndarray) -> jnp.ndarray:
+    return ntt(coset_scale(coeffs), inverse=False)
+
+
+def coset_intt(evals: jnp.ndarray) -> jnp.ndarray:
+    return coset_scale(ntt(evals, inverse=True), inverse=True)
+
+
+def z_on_coset_inv_mont(log_n: int) -> np.ndarray:
+    """1 / Z(g x) where Z(x) = x^n - 1: constant on the coset (g^n - 1)^-1."""
+    n = 1 << log_n
+    z = (pow(F.FR_MULT_GENERATOR, n, P) - 1) % P
+    zinv = pow(z, P - 2, P)
+    return LB.ints_to_limbs(np.array([F.FR.to_mont(zinv)], dtype=object))[:, 0]

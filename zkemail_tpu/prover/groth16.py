@@ -1,0 +1,155 @@
+"""Groth16 prover: witness -> proof, on the JAX/TPU compute path.
+
+Pipeline (replacing snarkjs.groth16.fullProve, chunked-zkey.ts:76-91):
+  1. sparse QAP matvecs Aw/Bw/Cw (gather + mont-mul + lazy scatter-add),
+  2. h(X) = (a*b - c)/Z via iNTT -> coset NTT -> pointwise -> coset iNTT,
+  3. five Pippenger MSMs over the CRS queries (ops/msm.py),
+  4. host-side final assembly (r/s randomization) + oracle verification
+     against core/curve pairing.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import curve_jax as CJ
+from ..core import field as F
+from ..core import limbs as LB
+from ..core.curve import G1, G2
+from ..ops import ntt as NTT
+from ..ops.msm import msm
+from .containers import Proof
+from .setup import ProvingKey
+
+P = F.R
+FS = LB.FR_SPEC
+L = F.LIMBS
+
+
+def _matrix_pack(cc, which: str):
+    """Device arrays for one R1CS matrix: (rows, cols, mont coeff limbs)."""
+    cache = getattr(cc, "_dev_mats", None)
+    if cache is None:
+        cache = {}
+        cc._dev_mats = cache
+    if which not in cache:
+        rows, cols, cfs = getattr(cc, which)
+        coeff_m = LB.ints_to_limbs(
+            np.array([F.FR.to_mont(int(c)) for c in cfs], dtype=object)
+        )
+        cache[which] = (
+            jnp.asarray(rows.astype(np.int32)),
+            jnp.asarray(cols.astype(np.int32)),
+            jnp.asarray(coeff_m),
+        )
+    return cache[which]
+
+
+def _lazy_reduce_to_mont(t: jnp.ndarray) -> jnp.ndarray:
+    """(L, m) limbs with values up to ~2^23 per limb -> canonical mont form."""
+    # carry propagate
+    outs = []
+    carry = jnp.zeros_like(t[0])
+    for i in range(L):
+        v = t[i] + carry
+        outs.append(v & F.LIMB_MASK)
+        carry = v >> F.LIMB_BITS
+    x = jnp.stack(outs, axis=0)
+    # x < 2^264; mont_mul(x, R2) = x*R mod p = mont(x)
+    r2 = jnp.asarray(FS.np_r2)[:, None]
+    return LB.mont_mul(FS, x, jnp.broadcast_to(r2, x.shape))
+
+
+def qap_vector(cc, which: str, w_mont: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(Mw) per-constraint dot products, padded to domain size m; mont form."""
+    rows, cols, coeffs = _matrix_pack(cc, which)
+    gathered = w_mont[:, cols]  # (L, nnz)
+    prods = LB.mont_mul(FS, gathered, coeffs)
+    acc = jnp.zeros((L, m) + prods.shape[2:], dtype=jnp.int32)
+    acc = acc.at[:, rows].add(prods)
+    return _lazy_reduce_to_mont(acc)
+
+
+def compute_h(cc, w_mont: jnp.ndarray, log_m: int) -> jnp.ndarray:
+    """h(X) coefficients (mont form, length m; last entry is zero)."""
+    m = 1 << log_m
+    aw = qap_vector(cc, "A", w_mont, m)
+    bw = qap_vector(cc, "B", w_mont, m)
+    cw = qap_vector(cc, "C", w_mont, m)
+    a_c = NTT.ntt(aw, inverse=True)
+    b_c = NTT.ntt(bw, inverse=True)
+    c_c = NTT.ntt(cw, inverse=True)
+    a_e = NTT.coset_ntt(a_c)
+    b_e = NTT.coset_ntt(b_c)
+    c_e = NTT.coset_ntt(c_c)
+    ab = LB.mont_mul(FS, a_e, b_e)
+    diff = LB.sub(FS, ab, c_e)
+    zinv = jnp.asarray(NTT.z_on_coset_inv_mont(log_m))[:, None]
+    h_e = LB.mont_mul(FS, diff, jnp.broadcast_to(zinv, diff.shape))
+    return NTT.coset_intt(h_e)
+
+
+def _to_host_g1(pt) -> G1:
+    aff = CJ.ec_to_affine(CJ.FQ_OPS, pt)
+    if bool(np.asarray(aff["inf"])):
+        return G1.identity()
+    return G1(int(CJ.FQ_OPS.to_ints(aff["x"])), int(CJ.FQ_OPS.to_ints(aff["y"])))
+
+
+def _to_host_g2(pt) -> G2:
+    from ..core.towers import Fq2
+
+    aff = CJ.ec_to_affine(CJ.FQ2_OPS, pt)
+    if bool(np.asarray(aff["inf"])):
+        return G2.identity()
+    fq = CJ.FQ_OPS
+    return G2(
+        Fq2(int(fq.to_ints(aff["x"][0])), int(fq.to_ints(aff["x"][1]))),
+        Fq2(int(fq.to_ints(aff["y"][0])), int(fq.to_ints(aff["y"][1]))),
+    )
+
+
+def prove(
+    pk: ProvingKey, cc, witness: jnp.ndarray, rng: random.Random | None = None
+) -> tuple[Proof, list[int]]:
+    """witness: (L, n_signals) standard-form limb array (single email).
+
+    Returns (proof, public_inputs).
+    """
+    rng = rng or random.Random()
+    r = rng.randrange(P)
+    s = rng.randrange(P)
+
+    w_mont = LB.to_mont(FS, witness)
+    h_coeffs = compute_h(cc, w_mont, pk.domain_log2)
+    h_std = LB.from_mont(FS, h_coeffs)
+
+    w_std = witness
+    a_dev = msm(CJ.FQ_OPS, pk.a_query, w_std)
+    b2_dev = msm(CJ.FQ2_OPS, pk.b2_query, w_std)
+    b1_dev = msm(CJ.FQ_OPS, pk.b1_query, w_std)
+    n_priv_offset = pk.n_public + 1
+    c_dev = msm(CJ.FQ_OPS, pk.c_query, w_std[:, n_priv_offset:])
+    m = 1 << pk.domain_log2
+    h_dev = msm(CJ.FQ_OPS, pk.h_query, h_std[:, : m - 1])
+
+    # host assembly with blinding
+    a_pt = _to_host_g1(a_dev).add(pk.alpha_g1).add(pk.delta_g1.mul(r))
+    b_pt = _to_host_g2(b2_dev).add(pk.beta_g2).add(pk.delta_g2.mul(s))
+    b1_pt = _to_host_g1(b1_dev).add(pk.beta_g1).add(pk.delta_g1.mul(s))
+    c_pt = (
+        _to_host_g1(c_dev)
+        .add(_to_host_g1(h_dev))
+        .add(a_pt.mul(s))
+        .add(b1_pt.mul(r))
+        .add(pk.delta_g1.mul((-r * s) % P))
+    )
+
+    publics = [
+        int(v) for v in LB.limbs_to_ints(np.asarray(witness[:, 1 : pk.n_public + 1]))
+    ]
+    return Proof(a_pt, b_pt, c_pt), publics

@@ -1,0 +1,149 @@
+"""Groth16 trusted setup (per-circuit CRS generation).
+
+Replaces the snarkjs powersoftau + zkey pipeline
+(docs/zk-email-docs/UsageGuide Steps 5-6) with a self-contained setup: QAP
+polynomials evaluated at tau host-side (Python bigints, cached), group
+elements materialized with a batched fixed-base windowed multiplier on
+device (ops/msm.fixed_base_batch).
+
+NOTE: like snarkjs' `groth16 setup` without a ceremony, toxic waste lives in
+process memory — fine for proving infrastructure parity and benchmarks; a
+real MPC ceremony is out of scope.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import curve_jax as CJ
+from ..core import field as F
+from ..core import limbs as LB
+from ..core.curve import G1, G2
+from ..prover.containers import VerifyingKey
+from ..ops.msm import fixed_base_batch, g2_points_from_affine, points_from_affine_ints
+
+P = F.R
+
+
+def _batch_inv(vals: list[int]) -> list[int]:
+    """Montgomery-trick batch inverse over Python ints."""
+    n = len(vals)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] * v % P
+    inv_total = pow(prefix[n], P - 2, P)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_total % P
+        inv_total = inv_total * vals[i] % P
+    return out
+
+
+@dataclass
+class ProvingKey:
+    domain_log2: int
+    n_public: int
+    # host points
+    alpha_g1: G1
+    beta_g1: G1
+    beta_g2: G2
+    delta_g1: G1
+    delta_g2: G2
+    # device point tables (projective pytrees)
+    a_query: dict
+    b1_query: dict
+    b2_query: dict
+    c_query: dict  # for signals n_public+1 .. n_signals-1
+    h_query: dict
+    vk: VerifyingKey = None
+
+
+def qap_evaluations(cc, tau: int):
+    """u_j(tau), v_j(tau), w_j(tau) for every signal j (host Python ints)."""
+    m = 1
+    log_m = 0
+    while m < max(cc.n_constraints, 2):
+        m *= 2
+        log_m += 1
+    omega = F.fr_nth_root(log_m)
+    # Lagrange basis at tau: L_i(tau) = Z(tau) * omega^i / (m * (tau - omega^i))
+    z_tau = (pow(tau, m, P) - 1) % P
+    omegas = [1] * m
+    for i in range(1, m):
+        omegas[i] = omegas[i - 1] * omega % P
+    denoms = [(tau - omegas[i]) % P for i in range(m)]
+    inv_denoms = _batch_inv(denoms)
+    m_inv = pow(m, P - 2, P)
+    lag = [z_tau * omegas[i] % P * inv_denoms[i] % P * m_inv % P for i in range(m)]
+
+    u = [0] * cc.n_signals
+    v = [0] * cc.n_signals
+    w = [0] * cc.n_signals
+    for (rows, cols, cfs), dest in ((cc.A, u), (cc.B, v), (cc.C, w)):
+        for r, c, cf in zip(rows, cols, cfs):
+            dest[int(c)] = (dest[int(c)] + int(cf) * lag[int(r)]) % P
+    return u, v, w, log_m, z_tau
+
+
+def groth16_setup(cc, seed: int = 0) -> ProvingKey:
+    rng = random.Random(seed or None)
+    tau = rng.randrange(1, P)
+    alpha = rng.randrange(1, P)
+    beta = rng.randrange(1, P)
+    gamma = rng.randrange(1, P)
+    delta = rng.randrange(1, P)
+
+    u, v, w, log_m, z_tau = qap_evaluations(cc, tau)
+    m = 1 << log_m
+    n_pub = cc.n_public
+    gamma_inv = pow(gamma, P - 2, P)
+    delta_inv = pow(delta, P - 2, P)
+
+    # scalar vectors for the queries
+    a_scalars = u
+    b_scalars = v
+    k_scalars = [
+        (beta * u[j] + alpha * v[j] + w[j]) % P for j in range(cc.n_signals)
+    ]
+    ic_scalars = [k_scalars[j] * gamma_inv % P for j in range(n_pub + 1)]
+    c_scalars = [k_scalars[j] * delta_inv % P for j in range(n_pub + 1, cc.n_signals)]
+    # h query scalars: tau^i * Z(tau) / delta, i < m-1
+    h_scalars = []
+    acc = z_tau * delta_inv % P
+    for _ in range(m - 1):
+        h_scalars.append(acc)
+        acc = acc * tau % P
+
+    a_query = fixed_base_batch("g1", a_scalars)
+    b1_query = fixed_base_batch("g1", b_scalars)
+    b2_query = fixed_base_batch("g2", b_scalars)
+    c_query = fixed_base_batch("g1", c_scalars)
+    h_query = fixed_base_batch("g1", h_scalars)
+    ic_pts = [G1.generator().mul(s) for s in ic_scalars]
+
+    g1, g2 = G1.generator(), G2.generator()
+    vk = VerifyingKey(
+        alpha_g1=g1.mul(alpha),
+        beta_g2=g2.mul(beta),
+        gamma_g2=g2.mul(gamma),
+        delta_g2=g2.mul(delta),
+        ic=ic_pts,
+    )
+    return ProvingKey(
+        domain_log2=log_m,
+        n_public=n_pub,
+        alpha_g1=g1.mul(alpha),
+        beta_g1=g1.mul(beta),
+        beta_g2=g2.mul(beta),
+        delta_g1=g1.mul(delta),
+        delta_g2=g2.mul(delta),
+        a_query=a_query,
+        b1_query=b1_query,
+        b2_query=b2_query,
+        c_query=c_query,
+        h_query=h_query,
+        vk=vk,
+    )

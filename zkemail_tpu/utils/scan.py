@@ -1,0 +1,48 @@
+"""Backend-adaptive scan.
+
+On TPU, `lax.scan` compiles the body once on the fast hardware compiler.  On
+the CPU backend (tests / virtual-device meshes), XLA's CPU pipeline takes
+minutes to compile bodies that contain nested field-arithmetic loops — so we
+run the same body as a Python loop instead, which dispatches the shape-
+canonicalized cached kernels from core.limbs (sub-millisecond per op).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _is_tracer_tree(tree) -> bool:
+    return any(
+        isinstance(x, jax.core.Tracer) for x in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def maybe_scan(body, init, xs, length: int | None = None, force_scan: bool = False):
+    """lax.scan on TPU / inside jit; Python loop on eager CPU.
+
+    body(carry, x) -> (carry, out); returns (carry, stacked_outs).
+    """
+    use_scan = (
+        force_scan
+        or jax.default_backend() != "cpu"
+        or _is_tracer_tree(init)
+        or _is_tracer_tree(xs)
+    )
+    if use_scan:
+        return jax.lax.scan(body, init, xs, length=length)
+
+    leaves = jax.tree_util.tree_leaves(xs)
+    n = length if length is not None else (leaves[0].shape[0] if leaves else 0)
+    carry = init
+    outs = []
+    for i in range(n):
+        xi = jax.tree_util.tree_map(lambda a: a[i], xs) if leaves else None
+        carry, out = body(carry, xi)
+        if out is not None:
+            outs.append(out)
+    if not outs:
+        return carry, None
+    stacked = jax.tree_util.tree_map(lambda *els: jnp.stack(els, axis=0), *outs)
+    return carry, stacked
