@@ -27,7 +27,7 @@ import numpy as np
 from ..core import curve_jax as CJ
 from ..core import field as F
 from ..core import limbs as LB
-from ..utils.scan import maybe_scan
+from ..utils.scan import maybe_fori, maybe_scan
 
 L = F.LIMBS
 C_BITS = 8
@@ -35,29 +35,34 @@ N_WINDOWS = 32
 N_BUCKETS = 1 << (C_BITS - 1)  # 128 (signed digits, |d| in 1..128)
 
 
-def extract_signed_digits(scalars: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def extract_signed_digits(
+    scalars: jnp.ndarray, c_bits: int = C_BITS, n_windows: int = N_WINDOWS
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(L, n) standard-form Fr scalars -> signed digit magnitudes and signs.
 
-    Returns (mag, neg): int32 (N_WINDOWS, n) with mag in 0..128; neg in {0,1}.
-    Digit value is  (1-2*neg) * mag;  mag==0 means skip.
+    Returns (mag, neg): int32 (n_windows, n) with mag in 0..2^(c-1); neg in
+    {0,1}. Digit value is (1-2*neg) * mag; mag==0 means skip.
     """
     n = scalars.shape[1]
+    half = 1 << (c_bits - 1)
+    full = 1 << c_bits
     digits = []
-    for w in range(N_WINDOWS):
-        off = w * C_BITS
+    for w in range(n_windows):
+        off = w * c_bits
         limb, sh = divmod(off, F.LIMB_BITS)
-        lo = scalars[limb] >> sh
-        need = C_BITS - (F.LIMB_BITS - sh)
-        val = lo
-        if need > 0 and limb + 1 < L:
-            val = val | (scalars[limb + 1] << (F.LIMB_BITS - sh))
-        digits.append(val & ((1 << C_BITS) - 1))
-    d = jnp.stack(digits, axis=0)  # (W, n), unsigned 0..255
+        val = scalars[limb] >> sh
+        got = F.LIMB_BITS - sh
+        while got < c_bits and limb + (got + F.LIMB_BITS - 1) // F.LIMB_BITS < L:
+            nxt = limb + 1 + (got - (F.LIMB_BITS - sh)) // F.LIMB_BITS
+            val = val | (scalars[nxt] << got)
+            got += F.LIMB_BITS
+        digits.append(val & (full - 1))
+    d = jnp.stack(digits, axis=0)  # (W, n)
 
     def recode(carry, dw):
         dw = dw + carry
-        over = (dw > 128).astype(jnp.int32)
-        signed = dw - 256 * over
+        over = (dw > half).astype(jnp.int32)
+        signed = dw - full * over
         return over, signed
 
     _, signed = jax.lax.scan(recode, jnp.zeros((n,), jnp.int32), d)
@@ -77,7 +82,14 @@ def _slice_pt(pt, sl):
     return {k: f(v) for k, v in pt.items()}
 
 
-def msm(ops, points, scalars: jnp.ndarray, chunk: int = 0):
+def msm(
+    ops,
+    points,
+    scalars: jnp.ndarray,
+    chunk: int = 0,
+    c_bits: int = C_BITS,
+    n_windows: int = 0,
+):
     """sum_i scalars[i] * points[i].
 
     ops: CJ.FQ_OPS (G1) or CJ.FQ2_OPS (G2).
@@ -88,11 +100,13 @@ def msm(ops, points, scalars: jnp.ndarray, chunk: int = 0):
     Returns a single projective point (batch shape ()).
     """
     n = scalars.shape[1]
+    n_windows = n_windows or N_WINDOWS
+    n_buckets = 1 << (c_bits - 1)
     t_threads = chunk or max(1, min(512, n // 4 or 1))
     n_pad = ((n + t_threads - 1) // t_threads) * t_threads
     pad = n_pad - n
 
-    mag, neg = extract_signed_digits(scalars)
+    mag, neg = extract_signed_digits(scalars, c_bits, n_windows)
     if pad:
         mag = jnp.pad(mag, ((0, 0), (0, pad)))
         neg = jnp.pad(neg, ((0, 0), (0, pad)))
@@ -100,17 +114,17 @@ def msm(ops, points, scalars: jnp.ndarray, chunk: int = 0):
 
     steps = n_pad // t_threads
     # reshape to (W, steps, T) / points to (steps, T)
-    mag = mag.reshape(N_WINDOWS, steps, t_threads)
-    neg = neg.reshape(N_WINDOWS, steps, t_threads)
+    mag = mag.reshape(n_windows, steps, t_threads)
+    neg = neg.reshape(n_windows, steps, t_threads)
     pts_steps = _reshape_points(ops, points, (steps, t_threads))
 
-    buckets = CJ.ec_identity(ops, (N_WINDOWS, N_BUCKETS, t_threads))
+    buckets = CJ.ec_identity(ops, (n_windows, n_buckets, t_threads))
 
     def scan_body(bkts, xs):
         mg, ng, pt = xs  # mg/ng: (W, T); pt: batch (T,)
         # broadcast point across windows, negate where needed
-        ptw = _broadcast_point(ops, pt, (N_WINDOWS, t_threads))
-        ptw = CJ.ec_select(ops, jnp.broadcast_to(ng == 1, (N_WINDOWS, t_threads)), CJ.ec_neg(ops, ptw), ptw)
+        ptw = _broadcast_point(ops, pt, (n_windows, t_threads))
+        ptw = CJ.ec_select(ops, jnp.broadcast_to(ng == 1, (n_windows, t_threads)), CJ.ec_neg(ops, ptw), ptw)
         bidx = jnp.maximum(mg - 1, 0)  # (W, T)
         cur = _gather_buckets(ops, bkts, bidx)
         added = CJ.ec_add(ops, cur, ptw)
@@ -149,18 +163,22 @@ def msm(ops, points, scalars: jnp.ndarray, chunk: int = 0):
         total = CJ.ec_add(ops, total, run)
         return (run, total), None
 
-    ident_w = CJ.ec_identity(ops, (N_WINDOWS,))
+    ident_w = CJ.ec_identity(ops, (n_windows,))
     rev = _reverse_pt_axis(ops, buckets, axis=1)
     (run, total), _ = maybe_scan(
         bucket_body, (ident_w, ident_w), _move_pt_axis(ops, rev, 1, 0)
     )
 
-    # Horner combine over windows: res = sum_w 2^(8w) S_w
-    res = _index_pt(ops, total, (N_WINDOWS - 1,))
-    for w in range(N_WINDOWS - 2, -1, -1):
-        for _ in range(C_BITS):
-            res = CJ.ec_double(ops, res)
-        res = CJ.ec_add(ops, res, _index_pt(ops, total, (w,)))
+    # Horner combine over windows: res = sum_w 2^(c*w) S_w — as a scan so the
+    # traced graph stays one window-body deep
+    def horner_body(res, s_w):
+        res = maybe_fori(c_bits, lambda i, r: CJ.ec_double(ops, r), res)
+        res = CJ.ec_add(ops, res, s_w)
+        return res, None
+
+    res = _index_pt(ops, total, (n_windows - 1,))
+    rest = _index_pt(ops, total, (slice(n_windows - 2, None, -1),))
+    res, _ = maybe_scan(horner_body, res, _move_pt_axis(ops, rest, 0, 0))
     return res
 
 

@@ -1,0 +1,82 @@
+"""Device-mesh parallelism for the proving stack.
+
+The reference has no distributed backend (SURVEY §2.6); scaling here is a
+TPU-native design obligation:
+
+  * axis "dp": data-parallel over independent emails — witness generation and
+    whole proofs shard trivially (the dominant win; BASELINE config #5).
+  * axis "msm": intra-proof parallelism — MSM points/threads shard across
+    chips; each chip accumulates a private bucket table, tables are combined
+    with an all_gather + local EC tree-reduce (EC addition is not a psum-able
+    monoid, so gather-then-reduce rides ICI once instead of log-p hops).
+  * NTT sharding (butterfly all_to_alls) is staged for a later round; the
+    h-polynomial today runs replicated per-dp-shard.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import curve_jax as CJ
+from ..ops import msm as MSM
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None):
+    """Build a (dp, msm) mesh over the available devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if dp is None:
+        dp = 1
+        while dp * 2 <= n and (n // (dp * 2)) * (dp * 2) == n:
+            if dp * 2 > n // (dp * 2):
+                break
+            dp *= 2
+        dp = max(1, n // max(1, n // dp) ) if False else dp
+    msm_size = n // dp
+    mesh_devs = np.array(devs[: dp * msm_size]).reshape(dp, msm_size)
+    return Mesh(mesh_devs, ("dp", "msm"))
+
+
+def sharded_msm(mesh: Mesh, ops, points, scalars, c_bits: int = 8, chunk: int = 2):
+    """MSM with points sharded over the "msm" axis.
+
+    Each shard runs private bucket accumulation on its point slice, partial
+    results are all_gathered and tree-reduced locally (identical on every
+    shard).  Returns a replicated projective point.
+    """
+    n_shards = mesh.shape["msm"]
+
+    def local_part(pts, sc):
+        part = MSM.msm(ops, pts, sc, chunk=chunk, c_bits=c_bits)
+        # stack coords, all_gather over the msm axis, reduce
+        gathered = jax.tree_util.tree_map(
+            lambda c: jax.lax.all_gather(c, "msm", axis=0), part
+        )
+        acc = jax.tree_util.tree_map(lambda c: c[0], gathered)
+        for i in range(1, n_shards):
+            nxt = jax.tree_util.tree_map(lambda c: c[i], gathered)
+            acc = CJ.ec_add(ops, acc, nxt)
+        return acc
+
+    pt_spec = jax.tree_util.tree_map(lambda _: P(None, "msm"), points)
+    fn = jax.shard_map(
+        local_part,
+        mesh=mesh,
+        in_specs=(pt_spec, P(None, "msm")),
+        out_specs=jax.tree_util.tree_map(lambda _: P(), points),
+        check_vma=False,
+    )
+    return fn(points, scalars)
+
+
+def dp_sharded_inputs(mesh: Mesh, inputs: dict) -> dict:
+    """Place batched witness inputs with the batch (last) axis on "dp"."""
+    out = {}
+    for k, v in inputs.items():
+        spec = P(*([None] * (v.ndim - 1) + ["dp"]))
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out

@@ -59,9 +59,10 @@ def _lazy_reduce_to_mont(t: jnp.ndarray) -> jnp.ndarray:
         outs.append(v & F.LIMB_MASK)
         carry = v >> F.LIMB_BITS
     x = jnp.stack(outs, axis=0)
-    # x < 2^264; mont_mul(x, R2) = x*R mod p = mont(x)
-    r2 = jnp.asarray(FS.np_r2)[:, None]
-    return LB.mont_mul(FS, x, jnp.broadcast_to(r2, x.shape))
+    # x < 2^264 and already mont-form (sum of mont products); mont_mul(x, R)
+    # = x*R*R^-1 = x mod p — canonical reduction preserving the mont domain
+    r1 = jnp.asarray(FS.np_r)[:, None]
+    return LB.mont_mul(FS, x, jnp.broadcast_to(r1, x.shape))
 
 
 def qap_vector(cc, which: str, w_mont: jnp.ndarray, m: int) -> jnp.ndarray:

@@ -46,3 +46,16 @@ def maybe_scan(body, init, xs, length: int | None = None, force_scan: bool = Fal
         return carry, None
     stacked = jax.tree_util.tree_map(lambda *els: jnp.stack(els, axis=0), *outs)
     return carry, stacked
+
+
+def maybe_fori(n: int, body, init):
+    """fori_loop inside jit / on TPU; Python loop on eager CPU.
+
+    body(i, carry) -> carry.
+    """
+    if jax.default_backend() != "cpu" or _is_tracer_tree(init):
+        return jax.lax.fori_loop(0, n, body, init)
+    carry = init
+    for i in range(n):
+        carry = body(i, carry)
+    return carry
