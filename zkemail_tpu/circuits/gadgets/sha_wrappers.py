@@ -103,12 +103,15 @@ def sha256_bytes_partial(
         bvals = env.u32(midstate_bytes).astype(jnp.uint32)  # (32, B)
         w = bvals.reshape(8, 4, -1)
         vals = (w[:, 0] << 24) | (w[:, 1] << 16) | (w[:, 2] << 8) | w[:, 3]
-        vals = vals.astype(jnp.int32)
-        import jax.numpy as jnp2
-
-        limbs = [vals & 0xFFF, (vals >> 12) & 0xFFF, (vals >> 24) & 0x7F]
-        z = jnp2.zeros_like(vals)
-        return jnp2.stack(limbs + [z] * (F.LIMBS - 3), axis=0)
+        # full 32-bit words: extract limbs in uint32 (logical shifts) so bit 31
+        # survives, then cast
+        limbs = [
+            (vals & 0xFFF).astype(jnp.int32),
+            ((vals >> 12) & 0xFFF).astype(jnp.int32),
+            ((vals >> 24) & 0xFF).astype(jnp.int32),
+        ]
+        z = jnp.zeros_like(limbs[0])
+        return jnp.stack(limbs + [z] * (F.LIMBS - 3), axis=0)
 
     cs.set_witness(ws, ws_witness, "sha_midstate_words")
 

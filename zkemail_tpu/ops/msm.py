@@ -100,7 +100,7 @@ def msm(
     Returns a single projective point (batch shape ()).
     """
     n = scalars.shape[1]
-    n_windows = n_windows or N_WINDOWS
+    n_windows = n_windows or -(-254 // c_bits)
     n_buckets = 1 << (c_bits - 1)
     t_threads = chunk or max(1, min(512, n // 4 or 1))
     n_pad = ((n + t_threads - 1) // t_threads) * t_threads
@@ -241,7 +241,7 @@ def _gather_buckets(ops, bkts, bidx):
 
 
 def _scatter_buckets(ops, bkts, bidx, new):
-    w_idx = jnp.arange(N_WINDOWS)[:, None]
+    w_idx = jnp.arange(bidx.shape[0])[:, None]
     t_idx = jnp.arange(bidx.shape[1])[None, :]
 
     def s(c, nc):

@@ -73,6 +73,61 @@ def sharded_msm(mesh: Mesh, ops, points, scalars, c_bits: int = 8, chunk: int = 
     return fn(points, scalars)
 
 
+def sharded_bucket_accumulate(
+    mesh: Mesh, ops, points, scalars, c_bits: int = 4, chunk: int = 2
+):
+    """The msm-axis-sharded core of Pippenger: per-shard private bucket
+    accumulation + an all_gather of the partial bucket sums over ICI.
+
+    Returns the gathered per-shard window sums (n_shards, windows) — the
+    cheap final combine runs outside (eagerly / on host).  Used by the
+    multichip dry run where the full in-jit reduction would blow up the CPU
+    compile budget.
+    """
+    n_windows = -(-254 // c_bits)
+
+    def local_part(pts, sc):
+        mag, neg = MSM.extract_signed_digits(sc, c_bits, n_windows)
+        n_local = sc.shape[1]
+        steps = n_local // chunk
+        magr = mag.reshape(n_windows, steps, chunk)
+        negr = neg.reshape(n_windows, steps, chunk)
+        pts_steps = MSM._reshape_points(ops, pts, (steps, chunk))
+        buckets = CJ.ec_identity(ops, (n_windows, 1 << (c_bits - 1), chunk))
+
+        def body(bkts, xs):
+            mg, ng, pt = xs
+            ptw = MSM._broadcast_point(ops, pt, (n_windows, chunk))
+            ptw = CJ.ec_select(
+                ops, jnp.broadcast_to(ng == 1, (n_windows, chunk)),
+                CJ.ec_neg(ops, ptw), ptw,
+            )
+            bidx = jnp.maximum(mg - 1, 0)
+            cur = MSM._gather_buckets(ops, bkts, bidx)
+            added = CJ.ec_add(ops, cur, ptw)
+            new = CJ.ec_select(ops, mg == 0, cur, added)
+            return MSM._scatter_buckets(ops, bkts, bidx, new), None
+
+        pts_scan = MSM._map_coords(pts_steps, lambda c: jnp.moveaxis(c, 1, 0))
+        buckets, _ = jax.lax.scan(
+            body, buckets, (jnp.moveaxis(magr, 1, 0), jnp.moveaxis(negr, 1, 0), pts_scan)
+        )
+        return jax.tree_util.tree_map(
+            lambda c: jax.lax.all_gather(c, "msm", axis=0), buckets
+        )
+
+    pt_spec = jax.tree_util.tree_map(lambda _: P(None, "msm"), points)
+    out_spec = jax.tree_util.tree_map(lambda _: P(), points)
+    fn = jax.shard_map(
+        local_part,
+        mesh=mesh,
+        in_specs=(pt_spec, P(None, "msm")),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return fn(points, scalars)
+
+
 def dp_sharded_inputs(mesh: Mesh, inputs: dict) -> dict:
     """Place batched witness inputs with the batch (last) axis on "dp"."""
     out = {}
