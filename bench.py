@@ -57,27 +57,36 @@ def main():
     )
     inputs = prepare_inputs([raw], cfg)
 
+    from zkemail_tpu.utils.scan import jit_on_accel
+
+    print(f"# built: {cc.n_constraints} constraints, {cc.n_signals} signals", file=sys.stderr, flush=True)
     t0 = time.time()
     pk = groth16_setup(cc, seed=1)
     setup_s = time.time() - t0
+    print(f"# setup done in {setup_s:.1f}s", file=sys.stderr, flush=True)
 
     # witness generation (timed separately; first call includes compiles)
+    wit_fn = jit_on_accel(lambda inp: cc.eval_witness(inp, 1), key="bench_witness")
     t0 = time.time()
-    w = cc.eval_witness(inputs, 1)
-    w[0].block_until_ready()
+    w = wit_fn(inputs)
+    w.block_until_ready()
     witness_first_s = time.time() - t0
+    print(f"# witness first {witness_first_s:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
-    w = cc.eval_witness(inputs, 1)
-    w[0].block_until_ready()
+    w = wit_fn(inputs)
+    w.block_until_ready()
     witness_s = time.time() - t0
+    print(f"# witness steady {witness_s:.2f}s", file=sys.stderr, flush=True)
 
     witness = w[:, :, 0]
     t0 = time.time()
     proof, publics = prove(pk, cc, witness)
     prove_first_s = time.time() - t0
+    print(f"# prove first {prove_first_s:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     proof, publics = prove(pk, cc, witness)
     prove_s = time.time() - t0
+    print(f"# prove steady {prove_s:.2f}s", file=sys.stderr, flush=True)
 
     ok = verify(pk.vk, proof, publics)
     total_s = witness_s + prove_s

@@ -297,14 +297,10 @@ class ConstraintSystem:
         shape = lc.shape
         z = self.alloc(shape, name)
         self.enforce_equal(lc, z)
-        terms = [(s, c) for s, c in lc.terms]
-        const = lc.const
+        prep = PreparedLC(lc, shape)
 
-        def step(env, terms=terms, const=const, shape=shape):
-            b = env.w.shape[-1]
-            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-            acc = _eval_lc_mont(env, terms, const, shape, n, b)
-            return _from_mont_dev(acc)
+        def step(env, prep=prep):
+            return prep.eval_std(env)
 
         self.set_witness(z, step, name or "define")
         return z
@@ -315,15 +311,11 @@ class ConstraintSystem:
         shape = np.broadcast_shapes(a.shape, b.shape)
         z = self.alloc(shape, name)
         self.enforce(a, b, z)
-        terms_a, const_a = a.terms, a.const
-        terms_b, const_b = b.terms, b.const
+        prep_a = PreparedLC(a, shape)
+        prep_b = PreparedLC(b, shape)
 
-        def step(env, shape=shape):
-            bsz = env.w.shape[-1]
-            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-            va = _eval_lc_mont(env, terms_a, const_a, shape, n, bsz)
-            vb = _eval_lc_mont(env, terms_b, const_b, shape, n, bsz)
-            prod = LB.mont_mul(LB.FR_SPEC, va, vb)
+        def step(env, prep_a=prep_a, prep_b=prep_b):
+            prod = LB.mont_mul(LB.FR_SPEC, prep_a.eval_mont(env), prep_b.eval_mont(env))
             return _from_mont_dev(prod)
 
         self.set_witness(z, step, name or "mul")
@@ -354,6 +346,63 @@ def _to_mont_dev(x: jnp.ndarray) -> jnp.ndarray:
 
 def _from_mont_dev(x: jnp.ndarray) -> jnp.ndarray:
     return LB.from_mont(LB.FR_SPEC, x)
+
+
+class PreparedLC:
+    """An LC with coefficient limb arrays precomputed at build time.
+
+    Evaluating an LC inside a witness step must not re-run the Python-int ->
+    limb conversion per call (it dominated eager witness time); this caches
+    the Montgomery coefficient arrays once.
+    """
+
+    __slots__ = ("terms", "const_limbs", "shape", "n")
+
+    def __init__(self, lc: "LC", shape=None):
+        lc = LC.of(lc)
+        self.shape = tuple(lc.shape if shape is None else shape)
+        self.n = int(np.prod(self.shape, dtype=np.int64)) if self.shape else 1
+        self.terms = []
+        for sv, coeff in lc.terms:
+            cf_arr = np.broadcast_to(
+                np.asarray(coeff, dtype=object), self.shape
+            ).reshape(-1)
+            if all(int(c) == 1 for c in cf_arr):
+                self.terms.append((sv, None))
+            else:
+                self.terms.append((sv, jnp.asarray(_coeff_limbs_mont(cf_arr))))
+        cf_arr = np.broadcast_to(np.asarray(lc.const, dtype=object), self.shape).reshape(-1)
+        if any(int(x) != 0 for x in cf_arr):
+            self.const_limbs = jnp.asarray(_coeff_limbs_plain(cf_arr))
+        else:
+            self.const_limbs = None
+
+    def eval_mont(self, env: Env) -> jnp.ndarray:
+        bsz = env.w.shape[-1]
+        acc = None
+        for sv, cl in self.terms:
+            vals = env.fr(sv)
+            pad = len(self.shape) - len(sv.shape)
+            vals = vals.reshape((L,) + (1,) * pad + sv.shape + (bsz,))
+            vals = jnp.broadcast_to(vals, (L,) + self.shape + (bsz,)).reshape(
+                L, self.n, bsz
+            )
+            if cl is None:
+                term = _to_mont_dev(vals)
+            else:
+                term = LB.mont_mul(LB.FR_SPEC, cl, _to_mont_dev(vals))
+            acc = term if acc is None else LB.add(LB.FR_SPEC, acc, term)
+        if self.const_limbs is not None:
+            cterm = _to_mont_dev(
+                jnp.broadcast_to(self.const_limbs, (L, self.n, bsz))
+            )
+            acc = cterm if acc is None else LB.add(LB.FR_SPEC, acc, cterm)
+        if acc is None:
+            acc = jnp.zeros((L, self.n, bsz), dtype=jnp.int32)
+        return acc
+
+    def eval_std(self, env: Env) -> jnp.ndarray:
+        return _from_mont_dev(self.eval_mont(env))
 
 
 def _eval_lc_mont(env: Env, terms, const, shape, n, bsz) -> jnp.ndarray:

@@ -12,16 +12,9 @@ import jax.numpy as jnp
 
 from ...core import field as F
 from ...core import limbs as LB
-from ..builder import LC, ConstraintSystem, Env, SignalVec, _eval_lc_mont, _from_mont_dev
+from ..builder import LC, ConstraintSystem, Env, PreparedLC, SignalVec, _from_mont_dev
 
 L = F.LIMBS
-
-
-def eval_lc(env: Env, lc: LC, shape) -> jnp.ndarray:
-    """Evaluate an LC to standard-form limbs (L, n, B)."""
-    n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-    b = env.w.shape[-1]
-    return _from_mont_dev(_eval_lc_mont(env, lc.terms, lc.const, shape, n, b))
 
 
 def num2bits(cs: ConstraintSystem, x, n_bits: int) -> SignalVec:
@@ -40,8 +33,10 @@ def num2bits(cs: ConstraintSystem, x, n_bits: int) -> SignalVec:
         acc = acc + bits[i] * (1 << i)
     cs.enforce_equal(acc, x)
 
-    def step(env, x=x, shape=shape, n_bits=n_bits):
-        vals = eval_lc(env, x, shape)  # (L, n, B)
+    prep = PreparedLC(x, shape)
+
+    def step(env, prep=prep, n_bits=n_bits):
+        vals = prep.eval_std(env)  # (L, n, B)
         b = vals.shape[-1]
         outs = []
         for i in range(n_bits):
@@ -76,14 +71,14 @@ def is_zero(cs: ConstraintSystem, x) -> SignalVec:
     cs.enforce(x, inv, 1 - LC.of(out))
     cs.enforce(x, out, LC([], 0))
 
-    def step_inv(env, x=x, shape=shape):
-        vals = eval_lc(env, x, shape)
-        vm = LB.to_mont(LB.FR_SPEC, vals)
-        invm = LB.inv(LB.FR_SPEC, vm)  # 0 -> 0
+    prep = PreparedLC(x, shape)
+
+    def step_inv(env, prep=prep):
+        invm = LB.inv(LB.FR_SPEC, prep.eval_mont(env))  # 0 -> 0
         return _from_mont_dev(invm)
 
-    def step_out(env, x=x, shape=shape):
-        vals = eval_lc(env, x, shape)
+    def step_out(env, prep=prep):
+        vals = prep.eval_std(env)
         z = LB.is_zero(vals).astype(jnp.int32)
         return jnp.stack([z] + [jnp.zeros_like(z)] * (L - 1), axis=0)
 

@@ -27,7 +27,7 @@ import numpy as np
 from ..core import curve_jax as CJ
 from ..core import field as F
 from ..core import limbs as LB
-from ..utils.scan import maybe_fori, maybe_scan
+from ..utils.scan import jit_on_accel, maybe_fori, maybe_scan
 
 L = F.LIMBS
 C_BITS = 8
@@ -313,21 +313,32 @@ def _fb_table_dev(kind: str):
     return _map_coords(pts, lambda c: c.reshape(L, N_WINDOWS, 256))
 
 
+def _fb_fold(kind: str, n: int):
+    ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
+    table = _fb_table_dev(kind)
+
+    def fold(digits):
+        acc = CJ.ec_identity(ops, (n,))
+        for w in range(N_WINDOWS):
+            dw = digits[w]
+            sel = _map_coords(table, lambda c: c[:, w, :][:, dw])
+            acc = CJ.ec_add(ops, acc, sel)
+        return acc
+
+    return fold
+
+
 def fixed_base_batch(kind: str, scalars: list) -> dict:
     """[s_0..s_{n-1}] -> projective points s_i * G  (G1 or G2 generator).
 
-    32 batched complete additions over n lanes (one per window).
+    32 batched complete additions over n lanes (one per window); one jitted
+    executable on accelerators.
     """
-    ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
     sc = jnp.asarray(LB.ints_to_limbs(np.array([s % F.R for s in scalars], dtype=object)))
     digits = extract_digits_unsigned(sc)  # (W, n)
-    table = _fb_table_dev(kind)
     n = len(scalars)
-    acc = CJ.ec_identity(ops, (n,))
-    for w in range(N_WINDOWS):
-        sel = _map_coords(table, lambda c: c[:, w, :][:, digits[w]])
-        acc = CJ.ec_add(ops, acc, sel)
-    return acc
+    fold = jit_on_accel(_fb_fold(kind, n), key=("fb", kind, n))
+    return fold(digits)
 
 
 def points_from_affine_ints(ops, xs, ys, infs=None):

@@ -114,6 +114,25 @@ def _to_host_g2(pt) -> G2:
     )
 
 
+def _device_prove_fn(cc, pk):
+    """The all-device phase of proving as one (jittable) function."""
+    n_priv_offset = pk.n_public + 1
+    m = 1 << pk.domain_log2
+
+    def f(witness, a_q, b1_q, b2_q, c_q, h_q):
+        w_mont = LB.to_mont(FS, witness)
+        h_coeffs = compute_h(cc, w_mont, pk.domain_log2)
+        h_std = LB.from_mont(FS, h_coeffs)
+        a_dev = msm(CJ.FQ_OPS, a_q, witness)
+        b2_dev = msm(CJ.FQ2_OPS, b2_q, witness)
+        b1_dev = msm(CJ.FQ_OPS, b1_q, witness)
+        c_dev = msm(CJ.FQ_OPS, c_q, witness[:, n_priv_offset:])
+        h_dev = msm(CJ.FQ_OPS, h_q, h_std[:, : m - 1])
+        return a_dev, b2_dev, b1_dev, c_dev, h_dev
+
+    return f
+
+
 def prove(
     pk: ProvingKey, cc, witness: jnp.ndarray, rng: random.Random | None = None
 ) -> tuple[Proof, list[int]]:
@@ -121,22 +140,16 @@ def prove(
 
     Returns (proof, public_inputs).
     """
+    from ..utils.scan import jit_on_accel
+
     rng = rng or random.Random()
     r = rng.randrange(P)
     s = rng.randrange(P)
 
-    w_mont = LB.to_mont(FS, witness)
-    h_coeffs = compute_h(cc, w_mont, pk.domain_log2)
-    h_std = LB.from_mont(FS, h_coeffs)
-
-    w_std = witness
-    a_dev = msm(CJ.FQ_OPS, pk.a_query, w_std)
-    b2_dev = msm(CJ.FQ2_OPS, pk.b2_query, w_std)
-    b1_dev = msm(CJ.FQ_OPS, pk.b1_query, w_std)
-    n_priv_offset = pk.n_public + 1
-    c_dev = msm(CJ.FQ_OPS, pk.c_query, w_std[:, n_priv_offset:])
-    m = 1 << pk.domain_log2
-    h_dev = msm(CJ.FQ_OPS, pk.h_query, h_std[:, : m - 1])
+    fn = jit_on_accel(_device_prove_fn(cc, pk), key=("prove", id(cc), id(pk)))
+    a_dev, b2_dev, b1_dev, c_dev, h_dev = fn(
+        witness, pk.a_query, pk.b1_query, pk.b2_query, pk.c_query, pk.h_query
+    )
 
     # host assembly with blinding
     a_pt = _to_host_g1(a_dev).add(pk.alpha_g1).add(pk.delta_g1.mul(r))

@@ -59,3 +59,21 @@ def maybe_fori(n: int, body, init):
     for i in range(n):
         carry = body(i, carry)
     return carry
+
+
+_JIT_CACHE: dict = {}
+
+
+def jit_on_accel(fn, key=None):
+    """jit when the default backend is an accelerator; raw call on CPU.
+
+    Accelerator eager mode pays a (possibly tunneled) RPC per op — the whole
+    pipeline must compile to one executable; CPU eager instead reuses the
+    small cached kernels and avoids XLA-CPU's slow big-graph compiles.
+    """
+    if jax.default_backend() == "cpu":
+        return fn
+    k = key or id(fn)
+    if k not in _JIT_CACHE:
+        _JIT_CACHE[k] = jax.jit(fn)
+    return _JIT_CACHE[k]
