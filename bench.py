@@ -34,7 +34,7 @@ def main():
     from zkemail_tpu.models.input_bridge import prepare_inputs
     from zkemail_tpu.prover.containers import verify
     from zkemail_tpu.prover.groth16 import prove
-    from zkemail_tpu.prover.setup import groth16_setup
+    from zkemail_tpu.prover.setup import groth16_setup, groth16_setup_cached
 
     cfg = EmailVerifierConfig(
         max_headers_length=int(os.environ.get("BENCH_MAX_HEADERS", "448")),
@@ -61,7 +61,15 @@ def main():
 
     print(f"# built: {cc.n_constraints} constraints, {cc.n_signals} signals", file=sys.stderr, flush=True)
     t0 = time.time()
-    pk = groth16_setup(cc, seed=1)
+    import zkemail_tpu.prover.setup as _setup_mod
+    _orig = _setup_mod.groth16_setup
+    def _with_progress(cc2, seed=0, progress=None):
+        return _orig(cc2, seed, progress=lambda m: print(f"# setup: {m}", file=sys.stderr, flush=True))
+    _setup_mod.groth16_setup = _with_progress
+    try:
+        pk = groth16_setup_cached(cc, seed=1, cache_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache"))
+    finally:
+        _setup_mod.groth16_setup = _orig
     setup_s = time.time() - t0
     print(f"# setup done in {setup_s:.1f}s", file=sys.stderr, flush=True)
 

@@ -1,0 +1,96 @@
+"""Contract packing parity + registry tooling tests (EVM-free)."""
+
+from pathlib import Path
+
+from zkemail_tpu.contracts.reference_impl import (
+    UserOverrideableRegistryModel,
+    circom_pack_fields,
+    circom_unpack_fields,
+    convert_packed_bytes_to_string,
+    get_domain_from_email,
+    noir_pack_bounded_vec_u8,
+    noir_pack_fields,
+    noir_unpack_fields,
+)
+from zkemail_tpu.helpers.binary_format import pack_bytes_to_fields
+from zkemail_tpu.helpers.testkit import LocalDKIMSigner
+from zkemail_tpu.scripts.update_dkim_registry import (
+    COMMON_SELECTORS,
+    crawl_domains,
+    pubkey_hash,
+    registry_calldata,
+)
+from zkemail_tpu.core.poseidon import poseidon_large
+from zkemail_tpu.helpers.dns import StaticResolver
+from zkemail_tpu.utils.keccak import keccak_256
+
+
+def test_circom_packing_matches_circuit_layout():
+    """Contract CircomUtils packing == helpers PackBytes == circuit layout."""
+    data = b"reveal-me@zkemail.example"
+    assert circom_pack_fields(data) == pack_bytes_to_fields(data)
+    assert circom_unpack_fields(circom_pack_fields(data), len(data)) == data
+    assert convert_packed_bytes_to_string(circom_pack_fields(data)) == data.decode()
+
+
+def test_noir_packing_roundtrip():
+    data = bytes(range(1, 60))
+    assert noir_unpack_fields(noir_pack_fields(data)) == data
+    bv = noir_pack_bounded_vec_u8(data, 64)
+    assert len(bv) == 65 and bv[64] == len(data) and bv[: len(data)] == list(data)
+
+
+def test_get_domain():
+    assert get_domain_from_email("alice@sub.example.com") == "sub.example.com"
+
+
+def test_overrideable_registry_model():
+    m = UserOverrideableRegistryModel("MAIN", set_timestamp_delay=100, now=0)
+    dom, key = "d", "k"
+    # main approval activates only after the delay
+    m.set_key(dom, key, "MAIN")
+    assert not m.is_valid(dom, key, "user1")
+    m.now = 100
+    assert m.is_valid(dom, key, "user1")
+    # user can self-approve another key immediately
+    m.set_key(dom, "k2", "user2")
+    assert m.is_valid(dom, "k2", "user2")
+    assert not m.is_valid(dom, "k2", "user1")
+    # main revocation blocks everyone until per-user reactivation
+    m.revoke(dom, key, "MAIN")
+    assert not m.is_valid(dom, key, "user1")
+    m.reactivate(dom, key, "user1")
+    assert m.is_valid(dom, key, "user1")
+    assert not m.is_valid(dom, key, "user3")
+    # user self-revocation is final for that user
+    m.revoke(dom, "k2", "user2")
+    assert not m.is_valid(dom, "k2", "user2")
+
+
+def test_registry_crawl_and_hash():
+    signer = LocalDKIMSigner(domain="corp.example", selector="selector1")
+    resolver = signer.resolver()
+    crawled = crawl_domains(["corp.example", "nokeys.example"], resolver=resolver)
+    assert "corp.example" in crawled and "nokeys.example" not in crawled
+    entry = crawled["corp.example"][0]
+    assert entry["selector"] == "selector1"
+    n = int(entry["modulus"], 16)
+    assert int(entry["pubkeyHash"]) == poseidon_large(n, 121, 9)
+    calls = registry_calldata(crawled)
+    assert calls[0]["method"] == "setDKIMPublicKeyHashes"
+    assert calls[0]["domainHash"] == "0x" + keccak_256(b"corp.example").hex()
+    assert len(COMMON_SELECTORS) >= 40
+
+
+def test_solidity_sources_present():
+    base = Path(__file__).resolve().parent.parent / "zkemail_tpu" / "contracts"
+    for name in [
+        "DKIMRegistry.sol",
+        "ECDSAOwnedDKIMRegistry.sol",
+        "UserOverrideableDKIMRegistry.sol",
+        "interfaces/IERC7969.sol",
+        "utils/CircomUtils.sol",
+        "utils/NoirUtils.sol",
+        "utils/StringUtils.sol",
+    ]:
+        assert (base / name).exists(), name

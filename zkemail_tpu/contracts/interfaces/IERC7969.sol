@@ -1,0 +1,21 @@
+// SPDX-License-Identifier: MIT
+pragma solidity ^0.8.13;
+
+/// @title ERC-7969 DKIM public key hash registry interface.
+/// Semantic parity with the reference interface
+/// (packages/contracts/interfaces/IERC7969.sol:13; ERC-165 id 0xdee3d600).
+interface IERC7969 {
+    /// @notice Emitted when a key hash is registered for a domain hash
+    event KeyHashRegistered(bytes32 indexed domainHash, bytes32 indexed keyHash);
+
+    /// @notice Emitted when a key hash is revoked for a domain hash
+    event KeyHashRevoked(bytes32 indexed domainHash, bytes32 indexed keyHash);
+
+    /// @notice Checks whether a DKIM key hash is currently valid for a domain
+    /// @param domainHash keccak256 of the lowercase domain name
+    /// @param keyHash hash of the DKIM RSA public key (circuit pubkeyHash)
+    function isKeyHashValid(bytes32 domainHash, bytes32 keyHash)
+        external
+        view
+        returns (bool);
+}

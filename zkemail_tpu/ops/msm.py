@@ -315,9 +315,8 @@ def _fb_table_dev(kind: str):
 
 def _fb_fold(kind: str, n: int):
     ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
-    table = _fb_table_dev(kind)
 
-    def fold(digits):
+    def fold(digits, table):
         acc = CJ.ec_identity(ops, (n,))
         for w in range(N_WINDOWS):
             dw = digits[w]
@@ -332,13 +331,16 @@ def fixed_base_batch(kind: str, scalars: list) -> dict:
     """[s_0..s_{n-1}] -> projective points s_i * G  (G1 or G2 generator).
 
     32 batched complete additions over n lanes (one per window); one jitted
-    executable on accelerators.
+    executable on accelerators (table passed as an argument so it is NOT
+    inlined as an MLIR constant — constant embedding pulls device arrays
+    back through the tunnel and stalls lowering).
     """
     sc = jnp.asarray(LB.ints_to_limbs(np.array([s % F.R for s in scalars], dtype=object)))
     digits = extract_digits_unsigned(sc)  # (W, n)
     n = len(scalars)
+    table = _fb_table_dev(kind)
     fold = jit_on_accel(_fb_fold(kind, n), key=("fb", kind, n))
-    return fold(digits)
+    return fold(digits, table)
 
 
 def points_from_affine_ints(ops, xs, ys, infs=None):

@@ -88,7 +88,39 @@ def qap_evaluations(cc, tau: int):
     return u, v, w, log_m, z_tau
 
 
-def groth16_setup(cc, seed: int = 0) -> ProvingKey:
+def groth16_setup_cached(cc, seed: int = 0, cache_dir: str | None = None) -> ProvingKey:
+    """Disk-cached setup: the CRS for a fixed (circuit, seed) is immutable."""
+    import pickle
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    if not cache_dir:
+        return groth16_setup(cc, seed)
+    path = Path(cache_dir) / f"pk_{cc.name}_{cc.n_constraints}_{cc.n_signals}_{seed}.pkl"
+    if path.exists():
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        for q in ("a_query", "b1_query", "b2_query", "c_query", "h_query"):
+            blob[q] = {
+                k: (tuple(jnp.asarray(c) for c in v) if isinstance(v, tuple) else jnp.asarray(v))
+                for k, v in blob[q].items()
+            }
+        return ProvingKey(**blob)
+    pk = groth16_setup(cc, seed)
+    blob = dict(pk.__dict__)
+    for q in ("a_query", "b1_query", "b2_query", "c_query", "h_query"):
+        blob[q] = {
+            k: (tuple(np.asarray(c) for c in v) if isinstance(v, tuple) else np.asarray(v))
+            for k, v in blob[q].items()
+        }
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+    return pk
+
+
+def groth16_setup(cc, seed: int = 0, progress=None) -> ProvingKey:
     rng = random.Random(seed or None)
     tau = rng.randrange(1, P)
     alpha = rng.randrange(1, P)
@@ -96,7 +128,13 @@ def groth16_setup(cc, seed: int = 0) -> ProvingKey:
     gamma = rng.randrange(1, P)
     delta = rng.randrange(1, P)
 
+    def log(msg):
+        if progress:
+            progress(msg)
+
+    log("qap evaluations...")
     u, v, w, log_m, z_tau = qap_evaluations(cc, tau)
+    log("qap done")
     m = 1 << log_m
     n_pub = cc.n_public
     gamma_inv = pow(gamma, P - 2, P)
@@ -117,11 +155,17 @@ def groth16_setup(cc, seed: int = 0) -> ProvingKey:
         h_scalars.append(acc)
         acc = acc * tau % P
 
+    log("a query...")
     a_query = fixed_base_batch("g1", a_scalars)
+    log("b1 query...")
     b1_query = fixed_base_batch("g1", b_scalars)
+    log("b2 query...")
     b2_query = fixed_base_batch("g2", b_scalars)
+    log("c query...")
     c_query = fixed_base_batch("g1", c_scalars)
+    log("h query...")
     h_query = fixed_base_batch("g1", h_scalars)
+    log("queries done")
     ic_pts = [G1.generator().mul(s) for s in ic_scalars]
 
     g1, g2 = G1.generator(), G2.generator()
