@@ -72,6 +72,13 @@ def main():
         _setup_mod.groth16_setup = _orig
     setup_s = time.time() - t0
     print(f"# setup done in {setup_s:.1f}s", file=sys.stderr, flush=True)
+    # move the CRS queries to the accelerator once
+    if jax.default_backend() != "cpu":
+        dev = jax.devices()[0]
+        for qname in ("a_query", "b1_query", "b2_query", "c_query", "h_query"):
+            q = getattr(pk, qname)
+            setattr(pk, qname, jax.tree_util.tree_map(lambda c: jax.device_put(c, dev), q))
+        print("# queries on device", file=sys.stderr, flush=True)
 
     # witness generation (timed separately; first call includes compiles)
     wit_fn = jit_on_accel(lambda inp: cc.eval_witness(inp, 1), key="bench_witness")

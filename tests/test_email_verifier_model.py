@@ -1,0 +1,134 @@
+"""EmailVerifier model tests: full variants on real self-signed DKIM emails.
+
+The "email-verifier.test.ts" analog (SURVEY §4.1): positive runs satisfy the
+R1CS with the expected public outputs; negative runs (tampered inputs)
+violate it.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zkemail_tpu.core import limbs as LB
+from zkemail_tpu.core.poseidon import poseidon_large
+from zkemail_tpu.helpers.input_gen import InputGenArgs, generate_email_verifier_inputs
+from zkemail_tpu.helpers.testkit import LocalDKIMSigner
+from zkemail_tpu.helpers.sha_utils import sha256
+from zkemail_tpu.models.email_verifier import EmailVerifierConfig, build_email_verifier
+from zkemail_tpu.models.input_bridge import prepare_inputs
+
+SIGNER = LocalDKIMSigner()
+
+
+def build_and_eval(cfg, eml, args):
+    handles = build_email_verifier(cfg)
+    cc = handles.cs.compile()
+    raw = generate_email_verifier_inputs(eml, SIGNER.resolver(), args)
+    inputs = prepare_inputs([raw], cfg)
+    w = cc.eval_witness(inputs, 1)
+    return handles, cc, w, raw
+
+
+def val_of(cc, vals, sv):
+    flat = sv.idx.reshape(-1)
+    out = [vals[int(cc.perm[i])] for i in flat]
+    return out if len(out) > 1 else out[0]
+
+
+@pytest.fixture(scope="module")
+def no_body_run():
+    cfg = EmailVerifierConfig(
+        max_headers_length=448, max_body_length=192, ignore_body_hash_check=True
+    )
+    eml = SIGNER.sign_email(body=b"model test body\r\n")
+    args = InputGenArgs(
+        ignore_body_hash_check=True, max_headers_length=448, max_body_length=192
+    )
+    return build_and_eval(cfg, eml, args), eml
+
+
+def test_email_verifier_no_body(no_body_run):
+    (handles, cc, w, raw), eml = no_body_run
+    witness = w[:, :, 0]
+    assert cc.check_satisfied_device(witness)
+    vals = [int(v) for v in LB.limbs_to_ints(np.asarray(witness))]
+    # public outputs: pubkeyHash matches host poseidonLarge of the modulus
+    assert val_of(cc, vals, handles.pubkey_hash) == poseidon_large(
+        SIGNER.public_key[0], 121, 9
+    )
+    # shaHi/shaLo reconstruct the header digest
+    from zkemail_tpu.helpers.dkim import verify_dkim_signature
+
+    res = verify_dkim_signature(eml, SIGNER.resolver())
+    digest = sha256(res.headers)
+    hi = int.from_bytes(digest[:16], "big")
+    lo = int.from_bytes(digest[16:], "big")
+    assert val_of(cc, vals, handles.sha_hi) == hi
+    assert val_of(cc, vals, handles.sha_lo) == lo
+
+
+def test_email_verifier_no_body_tampered_signature(no_body_run):
+    (handles, cc, w, raw), eml = no_body_run
+    # flip a bit in the signature input limbs
+    cfg = handles.config
+    raw2 = dict(raw)
+    sig = [int(x) for x in raw2["signature"]]
+    sig[0] ^= 1
+    raw2["signature"] = [str(x) for x in sig]
+    # the advice must be recomputed for the circuit to even *evaluate*; an
+    # honest prover cannot produce advice making a wrong signature verify
+    inputs = prepare_inputs([raw2], cfg)
+    w2 = cc.eval_witness(inputs, 1)
+    assert not cc.check_satisfied_device(w2[:, :, 0])
+
+
+def test_email_verifier_with_body():
+    cfg = EmailVerifierConfig(max_headers_length=448, max_body_length=192)
+    body = b"Proving the body branch works on TPUs.\r\n"
+    eml = SIGNER.sign_email(body=body)
+    args = InputGenArgs(max_headers_length=448, max_body_length=192)
+    handles, cc, w, raw = build_and_eval(cfg, eml, args)
+    assert cc.check_satisfied_device(w[:, :, 0])
+
+
+def test_email_verifier_with_body_tampered_body():
+    cfg = EmailVerifierConfig(max_headers_length=448, max_body_length=192)
+    body = b"Original body content here.\r\n"
+    eml = SIGNER.sign_email(body=body)
+    args = InputGenArgs(max_headers_length=448, max_body_length=192)
+    handles = build_email_verifier(cfg)
+    cc = handles.cs.compile()
+    raw = generate_email_verifier_inputs(eml, SIGNER.resolver(), args)
+    # tamper: change a body byte after input generation
+    bad = dict(raw)
+    eb = [int(x) for x in bad["emailBody"]]
+    eb[0] = (eb[0] + 1) % 256
+    bad["emailBody"] = [str(x) for x in eb]
+    inputs = prepare_inputs([bad], cfg)
+    w = cc.eval_witness(inputs, 1)
+    assert not cc.check_satisfied_device(w[:, :, 0])
+
+
+def test_email_verifier_header_masking():
+    cfg = EmailVerifierConfig(
+        max_headers_length=448,
+        max_body_length=192,
+        ignore_body_hash_check=True,
+        enable_header_masking=True,
+    )
+    eml = SIGNER.sign_email(body=b"mask test\r\n")
+    mask = [1 if i < 32 else 0 for i in range(448)]
+    args = InputGenArgs(
+        ignore_body_hash_check=True,
+        enable_header_masking=True,
+        header_mask=mask,
+        max_headers_length=448,
+        max_body_length=192,
+    )
+    handles, cc, w, raw = build_and_eval(cfg, eml, args)
+    assert cc.check_satisfied_device(w[:, :, 0])
+    vals = [int(v) for v in LB.limbs_to_ints(np.asarray(w[:, :, 0]))]
+    masked = val_of(cc, vals, handles.masked_header)
+    header = [int(x) for x in raw["emailHeader"]]
+    assert masked[:32] == header[:32]
+    assert all(v == 0 for v in masked[32:])

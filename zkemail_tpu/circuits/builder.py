@@ -515,6 +515,23 @@ class CompiledCircuit:
                 return False
         return True
 
+    def check_satisfied_device(self, witness: "jnp.ndarray") -> bool:
+        """Vectorized R1CS satisfaction check: witness (L, n_signals) limbs."""
+        from ..prover.groth16 import qap_vector
+        from ..core import limbs as LBm
+
+        m = 1
+        while m < max(self.n_constraints, 2):
+            m *= 2
+        w_mont = LBm.to_mont(LBm.FR_SPEC, witness)
+        aw = qap_vector(self, "A", w_mont, m)
+        bw = qap_vector(self, "B", w_mont, m)
+        cw = qap_vector(self, "C", w_mont, m)
+        ab = LBm.mont_mul(LBm.FR_SPEC, aw, bw)
+        diff = LBm.sub(LBm.FR_SPEC, ab, cw)
+        ok = bool(jnp.all(diff[:, : self.n_constraints] == 0))
+        return ok
+
     def first_unsatisfied_host(self, witness_ints) -> int | None:
         w = [int(x) % P for x in witness_ints]
 

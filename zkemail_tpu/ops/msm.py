@@ -327,20 +327,52 @@ def _fb_fold(kind: str, n: int):
     return fold
 
 
-def fixed_base_batch(kind: str, scalars: list) -> dict:
+def fixed_base_batch(kind: str, scalars: list, on_cpu: bool = True) -> dict:
     """[s_0..s_{n-1}] -> projective points s_i * G  (G1 or G2 generator).
 
-    32 batched complete additions over n lanes (one per window); one jitted
-    executable on accelerators (table passed as an argument so it is NOT
-    inlined as an MLIR constant — constant embedding pulls device arrays
-    back through the tunnel and stalls lowering).
+    32 batched complete additions over n lanes (one per window).  Runs on the
+    host CPU backend by default: CRS materialization is one-time (and disk
+    cached), and the eager CPU path reuses the small cached kernels instead
+    of paying a tunneled accelerator compile.
     """
-    sc = jnp.asarray(LB.ints_to_limbs(np.array([s % F.R for s in scalars], dtype=object)))
-    digits = extract_digits_unsigned(sc)  # (W, n)
     n = len(scalars)
+    limbs = LB.ints_to_limbs(np.array([s % F.R for s in scalars], dtype=object))
+    if on_cpu and jax.default_backend() != "cpu":
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            sc = jnp.asarray(limbs)
+            digits = extract_digits_unsigned(sc)
+            table = _fb_table_dev_cpu(kind)
+            return _fb_fold(kind, n)(digits, table)
+    sc = jnp.asarray(limbs)
+    digits = extract_digits_unsigned(sc)  # (W, n)
     table = _fb_table_dev(kind)
     fold = jit_on_accel(_fb_fold(kind, n), key=("fb", kind, n))
     return fold(digits, table)
+
+
+@functools.lru_cache(maxsize=None)
+def _fb_table_dev_cpu(kind: str):
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        table = _fb_table_host(kind)
+        flat = [p for row in table for p in row]
+        if kind == "g1":
+            pts = points_from_affine_ints(
+                CJ.FQ_OPS,
+                [p.x if not p.inf else 0 for p in flat],
+                [p.y if not p.inf else 1 for p in flat],
+                [p.inf for p in flat],
+            )
+        else:
+            pts = g2_points_from_affine(
+                [0 if p.inf else p.x.c0 for p in flat],
+                [0 if p.inf else p.x.c1 for p in flat],
+                [1 if p.inf else p.y.c0 for p in flat],
+                [0 if p.inf else p.y.c1 for p in flat],
+                [p.inf for p in flat],
+            )
+        return _map_coords(pts, lambda c: c.reshape(L, N_WINDOWS, 256))
 
 
 def points_from_affine_ints(ops, xs, ys, infs=None):
