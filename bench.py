@@ -80,8 +80,17 @@ def main():
             setattr(pk, qname, jax.tree_util.tree_map(lambda c: jax.device_put(c, dev), q))
         print("# queries on device", file=sys.stderr, flush=True)
 
-    # witness generation (timed separately; first call includes compiles)
-    wit_fn = jit_on_accel(lambda inp: cc.eval_witness(inp, 1), key="bench_witness")
+    # witness generation (timed separately; first call includes compiles).
+    # The witness graph is tens of MB of HLO — too large for the tunneled
+    # TPU compile helper — and is a tiny fraction of proving cost, so it
+    # runs on the host CPU backend (eager, cached small kernels); the TPU
+    # is reserved for the prove phase.
+    cpu = jax.devices("cpu")[0]
+
+    def wit_fn(inp):
+        inp = jax.device_put(inp, cpu)
+        with jax.default_device(cpu):
+            return cc.eval_witness(inp, 1)
     t0 = time.time()
     w = wit_fn(inputs)
     w.block_until_ready()
@@ -93,7 +102,7 @@ def main():
     witness_s = time.time() - t0
     print(f"# witness steady {witness_s:.2f}s", file=sys.stderr, flush=True)
 
-    witness = w[:, :, 0]
+    witness = jax.device_put(np.asarray(w[:, :, 0]), jax.devices()[0])
     t0 = time.time()
     proof, publics = prove(pk, cc, witness)
     prove_first_s = time.time() - t0

@@ -24,10 +24,11 @@ def test_grain_anchors():
     assert mds[0][0] == 0x109B7F411BA0E4C9B2B70CAF5C36A7B194BE7C11AD24378BFEDB68592BA8118B
 
 
-def test_regression_vectors():
-    """Locked-in outputs of this implementation (self-regression; see the
-    circomlib-parity note in core/poseidon.py)."""
-    assert poseidon([1, 2]) == 14701277557012599499502270970203085398749099377616312056838898184064915179157
+def test_circomlib_golden_vectors():
+    """Bit-exact parity with circomlibjs (the reference's hashing stack,
+    packages/helpers/src/hash.ts): the canonical published test vectors."""
+    assert poseidon([1]) == 18586133768512220936620570745912940619677854269274689475585506675881198879027
+    assert poseidon([1, 2]) == 7853200120776062878684798364095072458815029376092732009249414926327459813530
     # determinism / distinctness
     assert poseidon([2, 1]) != poseidon([1, 2])
     assert poseidon([0]) != poseidon([0, 0])

@@ -315,6 +315,9 @@ class ConstraintSystem:
         prep_b = PreparedLC(b, shape)
 
         def step(env, prep_a=prep_a, prep_b=prep_b):
+            if prep_a.host_eligible(env):
+                prod = (prep_a.eval_ints(env) * prep_b.eval_ints(env)) % P
+                return LB.ints_to_limbs(prod)
             prod = LB.mont_mul(LB.FR_SPEC, prep_a.eval_mont(env), prep_b.eval_mont(env))
             return _from_mont_dev(prod)
 
@@ -356,26 +359,61 @@ class PreparedLC:
     the Montgomery coefficient arrays once.
     """
 
-    __slots__ = ("terms", "const_limbs", "shape", "n")
+    __slots__ = ("terms", "const_limbs", "shape", "n", "int_terms", "int_const")
 
     def __init__(self, lc: "LC", shape=None):
         lc = LC.of(lc)
         self.shape = tuple(lc.shape if shape is None else shape)
         self.n = int(np.prod(self.shape, dtype=np.int64)) if self.shape else 1
         self.terms = []
+        self.int_terms = []
         for sv, coeff in lc.terms:
             cf_arr = np.broadcast_to(
                 np.asarray(coeff, dtype=object), self.shape
             ).reshape(-1)
             if all(int(c) == 1 for c in cf_arr):
                 self.terms.append((sv, None))
+                self.int_terms.append(None)
             else:
                 self.terms.append((sv, jnp.asarray(_coeff_limbs_mont(cf_arr))))
+                self.int_terms.append(cf_arr)
         cf_arr = np.broadcast_to(np.asarray(lc.const, dtype=object), self.shape).reshape(-1)
         if any(int(x) != 0 for x in cf_arr):
             self.const_limbs = jnp.asarray(_coeff_limbs_plain(cf_arr))
+            self.int_const = cf_arr
         else:
             self.const_limbs = None
+            self.int_const = None
+
+    # Eager host-int path: for small LCs the jnp evaluation costs dozens of
+    # tiny-kernel dispatches; Python bigints win below this size.
+    HOST_EVAL_MAX = 8192
+
+    def host_eligible(self, env: "Env") -> bool:
+        return (
+            isinstance(env.w, np.ndarray)
+            and self.n * env.w.shape[-1] <= PreparedLC.HOST_EVAL_MAX
+        )
+
+    def eval_ints(self, env: "Env") -> np.ndarray:
+        """(n, B) object ndarray of field ints (standard form)."""
+        bsz = env.w.shape[-1]
+        acc = np.zeros((self.n, bsz), dtype=object)
+        for (sv, _), cf in zip(self.terms, self.int_terms):
+            gathered = env.w[:, env._map(sv.idx.reshape(-1)), :]
+            ints = np.asarray(LB.limbs_to_ints(gathered), dtype=object)
+            pad = len(self.shape) - len(sv.shape)
+            ints = np.broadcast_to(
+                ints.reshape((1,) * pad + sv.shape + (bsz,)),
+                tuple(self.shape) + (bsz,),
+            ).reshape(self.n, bsz)
+            if cf is None:
+                acc = acc + ints
+            else:
+                acc = acc + cf.reshape(self.n, 1) * ints
+        if self.int_const is not None:
+            acc = acc + self.int_const.reshape(self.n, 1)
+        return acc % P
 
     def eval_mont(self, env: Env) -> jnp.ndarray:
         bsz = env.w.shape[-1]
@@ -402,6 +440,8 @@ class PreparedLC:
         return acc
 
     def eval_std(self, env: Env) -> jnp.ndarray:
+        if self.host_eligible(env):
+            return LB.ints_to_limbs(self.eval_ints(env))
         return _from_mont_dev(self.eval_mont(env))
 
 
@@ -476,6 +516,26 @@ class CompiledCircuit:
     # ------------------------------------------------------------ witness
     def eval_witness(self, inputs: dict, batch: int) -> jnp.ndarray:
         """Compute the full witness (L, n_signals, B), permuted layout."""
+        import jax
+
+        traced = any(
+            isinstance(x, jax.core.Tracer)
+            for x in jax.tree_util.tree_leaves(inputs)
+        )
+        if not traced:
+            # Eager fast path: a mutable numpy buffer — per-step writes are
+            # in-place instead of `.at.set` copying the whole (L, n, B)
+            # buffer each step (measured 80+ s of pure memcpy on the 354k-
+            # signal EmailVerifier).  Step fns run jnp ops on numpy gathers.
+            w = np.zeros((L, self.n_signals, batch), dtype=np.int32)
+            w[0, 0, :] = 1  # ONE
+            env = Env(w, inputs, self.perm)
+            for step in self.steps:
+                vals = step.fn(env)
+                w[:, self.perm[step.out_idx], :] = np.asarray(vals).reshape(
+                    L, len(step.out_idx), batch
+                )
+            return jnp.asarray(w)
         w = jnp.zeros((L, self.n_signals, batch), dtype=jnp.int32)
         w = w.at[0, 0, :].set(1)  # ONE
         env = Env(w, inputs, self.perm)

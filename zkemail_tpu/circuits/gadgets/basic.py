@@ -8,6 +8,7 @@ Each gadget emits R1CS rows and registers vectorized witness steps.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ...core import field as F
@@ -38,6 +39,18 @@ def num2bits(cs: ConstraintSystem, x, n_bits: int) -> SignalVec:
     def step(env, prep=prep, n_bits=n_bits):
         vals = prep.eval_std(env)  # (L, n, B)
         b = vals.shape[-1]
+        if not isinstance(vals, jax.core.Tracer):
+            # eager: one host copy, then the n_bits loop is numpy (the jnp
+            # version costs ~2 dispatches per bit — dominant at 254 bits)
+            v = np.asarray(vals)
+            outs = [
+                (v[i // F.LIMB_BITS] >> (i % F.LIMB_BITS)) & 1
+                for i in range(n_bits)
+            ]
+            small = np.stack(outs, axis=0).reshape(-1, b)
+            out = np.zeros((L,) + small.shape, dtype=np.int32)
+            out[0] = small
+            return out
         outs = []
         for i in range(n_bits):
             limb, off = divmod(i, F.LIMB_BITS)

@@ -95,9 +95,53 @@ def poseidon_hash(cs: ConstraintSystem, inputs: SignalVec) -> SignalVec:
         dtype=np.int32,
     )
 
+    def _host_trace(vals_np, m=m, t=t):
+        """Eager witness path: the full trace with Python bigints.
+
+        The jnp scan costs ~1000 tiny-kernel dispatches per hash in eager
+        mode (~16 s for one PoseidonLarge); host ints do it in ~10 ms.
+        """
+        import jax as _jax
+
+        p = F.FR.p
+        bsz = vals_np.shape[-1]
+        ints = LB.limbs_to_ints(vals_np.reshape(L, -1))
+        ints = np.asarray(ints, dtype=object).reshape(m, t - 1, bsz)
+        sbox_out = np.empty((m, n_rounds, t, 3, bsz), dtype=object)
+        st_out = np.empty((m, n_rounds, t, bsz), dtype=object)
+        for mi in range(m):
+            for bi in range(bsz):
+                state = [0] + [int(ints[mi, k, bi]) for k in range(t - 1)]
+                for r in range(n_rounds):
+                    is_full = r < half or r >= half + N_ROUNDS_P[t - 2]
+                    pre = [(state[i] + consts[r * t + i]) % p for i in range(t)]
+                    mix_in = []
+                    for i in range(t):
+                        x2 = pre[i] * pre[i] % p
+                        x4 = x2 * x2 % p
+                        x5 = x4 * pre[i] % p
+                        sbox_out[mi, r, i, 0, bi] = x2
+                        sbox_out[mi, r, i, 1, bi] = x4
+                        sbox_out[mi, r, i, 2, bi] = x5
+                        mix_in.append(x5 if (is_full or i == 0) else pre[i])
+                    state = [
+                        sum(mds[i][jj] * mix_in[jj] for jj in range(t)) % p
+                        for i in range(t)
+                    ]
+                    for i in range(t):
+                        st_out[mi, r, i, bi] = state[i]
+        flat = np.concatenate(
+            [sbox_out.reshape(-1, bsz), st_out.reshape(-1, bsz)], axis=0
+        )
+        return LB.ints_to_limbs(flat)
+
     def step_fn(env, inputs_sv=inputs_sv, m=m, t=t):
         vals = env.fr(inputs_sv)  # (L, m, n, B)
         bsz = vals.shape[-1]
+        import jax as _jax
+
+        if not isinstance(vals, _jax.core.Tracer):
+            return _host_trace(np.asarray(vals))
         vm = LB.to_mont(fs, vals.reshape(L, m * (t - 1), bsz)).reshape(L, m, t - 1, bsz)
         zero = jnp.zeros((L, m, 1, bsz), dtype=jnp.int32)
         state = jnp.concatenate([zero, vm], axis=2)  # (L, m, t, B)

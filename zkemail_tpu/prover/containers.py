@@ -48,6 +48,26 @@ class VerifyingKey:
 
         return VerifyingKey(**decode_vkey(data))
 
+    @staticmethod
+    def from_snarkjs(obj: dict) -> "VerifyingKey":
+        """Parse a snarkjs vkey.json (decimal-string affine coordinates),
+        mirroring GrothBnVkey::from_json (verifier_utils.rs:93-153)."""
+        from ..core.towers import Fq2
+
+        def g1(c):
+            return G1(int(c[0]), int(c[1]))
+
+        def g2(c):
+            return G2(Fq2(int(c[0][0]), int(c[0][1])), Fq2(int(c[1][0]), int(c[1][1])))
+
+        return VerifyingKey(
+            alpha_g1=g1(obj["vk_alpha_1"]),
+            beta_g2=g2(obj["vk_beta_2"]),
+            gamma_g2=g2(obj["vk_gamma_2"]),
+            delta_g2=g2(obj["vk_delta_2"]),
+            ic=[g1(c) for c in obj["IC"]],
+        )
+
 
 def verify(vk: VerifyingKey, proof: Proof, public_inputs: list[int]) -> bool:
     """e(A,B) == e(alpha,beta) * e(L_pub, gamma) * e(C, delta)."""

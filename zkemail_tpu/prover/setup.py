@@ -97,7 +97,19 @@ def groth16_setup_cached(cc, seed: int = 0, cache_dir: str | None = None) -> Pro
 
     if not cache_dir:
         return groth16_setup(cc, seed)
-    path = Path(cache_dir) / f"pk_{cc.name}_{cc.n_constraints}_{cc.n_signals}_{seed}.pkl"
+    # key includes a digest of the constraint coefficients so any circuit
+    # change (e.g. new hash constants) invalidates old CRS blobs
+    import hashlib
+
+    h = hashlib.sha256()
+    for rows, cols, cfs in (cc.A, cc.B, cc.C):
+        h.update(np.ascontiguousarray(rows).tobytes())
+        h.update(np.ascontiguousarray(cols).tobytes())
+        h.update(len(cfs).to_bytes(8, "little"))
+        for cf in list(cfs[:64]) + list(cfs[-64:]):
+            h.update((int(cf) % (1 << 256)).to_bytes(32, "little"))
+    digest = h.hexdigest()[:12]
+    path = Path(cache_dir) / f"pk_{cc.name}_{cc.n_constraints}_{cc.n_signals}_{digest}_{seed}.pkl"
     if path.exists():
         with open(path, "rb") as f:
             blob = pickle.load(f)
@@ -155,16 +167,23 @@ def groth16_setup(cc, seed: int = 0, progress=None) -> ProvingKey:
         h_scalars.append(acc)
         acc = acc * tau % P
 
+    # CRS materialization: on an attached accelerator the jitted fold is
+    # orders of magnitude faster than the eager CPU path (354k-signal
+    # EmailVerifier: minutes -> seconds), so only fall back to CPU when no
+    # accelerator exists.
+    import jax as _jax
+
+    on_cpu = _jax.default_backend() == "cpu"
     log("a query...")
-    a_query = fixed_base_batch("g1", a_scalars)
+    a_query = fixed_base_batch("g1", a_scalars, on_cpu=on_cpu)
     log("b1 query...")
-    b1_query = fixed_base_batch("g1", b_scalars)
+    b1_query = fixed_base_batch("g1", b_scalars, on_cpu=on_cpu)
     log("b2 query...")
-    b2_query = fixed_base_batch("g2", b_scalars)
+    b2_query = fixed_base_batch("g2", b_scalars, on_cpu=on_cpu)
     log("c query...")
-    c_query = fixed_base_batch("g1", c_scalars)
+    c_query = fixed_base_batch("g1", c_scalars, on_cpu=on_cpu)
     log("h query...")
-    h_query = fixed_base_batch("g1", h_scalars)
+    h_query = fixed_base_batch("g1", h_scalars, on_cpu=on_cpu)
     log("queries done")
     ic_pts = [G1.generator().mul(s) for s in ic_scalars]
 

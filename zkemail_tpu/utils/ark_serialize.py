@@ -74,6 +74,58 @@ def decode_fr(data: bytes) -> int:
     return int.from_bytes(data, "little")
 
 
+# ---------------------------------------------------------------------------
+# Encoders (the reverse direction: what `serialize_compressed` emits in the
+# reference's generate-verifier / generate-verifier-arguments CLI,
+# packages/rust-verifier/src/main.rs:47-104)
+# ---------------------------------------------------------------------------
+
+def encode_g1(p: G1) -> bytes:
+    if p.inf:
+        raw = bytearray(32)
+        raw[31] |= INF_FLAG
+        return bytes(raw)
+    raw = bytearray(p.x.to_bytes(32, "little"))
+    if p.y > Q - p.y:
+        raw[31] |= Y_LARGEST_FLAG
+    return bytes(raw)
+
+
+def encode_g2(p: G2) -> bytes:
+    if p.inf:
+        raw = bytearray(64)
+        raw[63] |= INF_FLAG
+        return bytes(raw)
+    raw = bytearray(p.x.c0.to_bytes(32, "little") + p.x.c1.to_bytes(32, "little"))
+    y_neg = -p.y
+    if (p.y.c1, p.y.c0) > (y_neg.c1, y_neg.c0):
+        raw[63] |= Y_LARGEST_FLAG
+    return bytes(raw)
+
+
+def encode_fr(x: int) -> bytes:
+    return (x % (1 << 256)).to_bytes(32, "little")
+
+
+def encode_proof(proof) -> bytes:
+    """ark Proof<Bn254> compressed: a(G1) | b(G2) | c(G1) = 128 bytes."""
+    return encode_g1(proof.a) + encode_g2(proof.b) + encode_g1(proof.c)
+
+
+def encode_publics(publics: list[int]) -> bytes:
+    """[Fr; N] compressed (fixed-size array: elements only, no length)."""
+    return b"".join(encode_fr(x) for x in publics)
+
+
+def encode_vkey(vk) -> bytes:
+    """ark VerifyingKey<Bn254> compressed (see decode_vkey for layout)."""
+    out = encode_g1(vk.alpha_g1) + encode_g2(vk.beta_g2)
+    out += encode_g2(vk.gamma_g2) + encode_g2(vk.delta_g2)
+    out += len(vk.ic).to_bytes(8, "little")
+    out += b"".join(encode_g1(p) for p in vk.ic)
+    return out
+
+
 def decode_vkey(data: bytes):
     """arkworks VerifyingKey<Bn254> compressed layout:
     alpha_g1 | beta_g2 | gamma_g2 | delta_g2 | u64 n | n * gamma_abc_g1."""
