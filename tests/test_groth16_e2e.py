@@ -56,3 +56,22 @@ def test_groth16_bits_circuit():
     proof, publics = prove(pk, cc, witness)
     assert publics == [1]
     assert verify(pk.vk, proof, publics)
+
+
+def test_groth16_prove_batch():
+    """prove_batch: one device program proving B witnesses; all verify."""
+    from zkemail_tpu.prover.groth16 import prove_batch
+
+    cc = build_toy()
+    pk = groth16_setup(cc, seed=42)
+    xs = [3, 11, 250]
+    w = cc.eval_witness({"x": jnp.asarray(xs, dtype=jnp.int32)}, len(xs))
+    proofs = prove_batch(pk, cc, w)
+    assert len(proofs) == len(xs)
+    for x, (proof, publics) in zip(xs, proofs):
+        assert publics == [x**3 + x + 5]
+        assert verify(pk.vk, proof, publics), f"batch proof for x={x} must verify"
+    # proofs are independently blinded: same statement twice -> distinct A
+    w2 = cc.eval_witness({"x": jnp.asarray([3, 3], dtype=jnp.int32)}, 2)
+    (p1, _), (p2, _) = prove_batch(pk, cc, w2)
+    assert p1.a != p2.a

@@ -111,3 +111,49 @@ def test_msm_identity_points_and_zero_scalars():
     sc_dev = jnp.asarray(LB.ints_to_limbs(np.array(scalars, dtype=object)))
     res = MSM.msm(CJ.FQ_OPS, pts_dev, sc_dev, chunk=2)
     assert bool(np.asarray(CJ.ec_is_identity(CJ.FQ_OPS, res)))
+
+
+def test_ntt_batched_matches_columns():
+    """(L, n, B) batched NTT == per-column NTT (the prove_batch DP axis)."""
+    n, bsz = 16, 3
+    cols = [[RNG.randrange(P) for _ in range(n)] for _ in range(bsz)]
+    devs = [to_mont_arr(c) for c in cols]
+    batched = jnp.stack(devs, axis=2)  # (L, n, B)
+    out = NTT.coset_ntt(batched)
+    for b in range(bsz):
+        single = NTT.coset_ntt(devs[b])
+        assert from_mont_arr(out[:, :, b]) == from_mont_arr(single)
+    back = NTT.coset_intt(out)
+    for b in range(bsz):
+        assert from_mont_arr(back[:, :, b]) == cols[b]
+
+
+def test_msm_multi_matches_single():
+    """Shared-base batched MSM == B independent MSMs."""
+    n, bsz = 17, 3
+    g = G1.generator()
+    base_pts = [g.mul(RNG.randrange(1, 1000)) for _ in range(n)]
+    pts_dev = MSM.points_from_affine_ints(
+        CJ.FQ_OPS, [p.x for p in base_pts], [p.y for p in base_pts]
+    )
+    scalar_sets = [[RNG.randrange(P) for _ in range(n)] for _ in range(bsz)]
+    scalar_sets[1][5] = 0  # exercise skip lanes
+    sc = jnp.stack(
+        [
+            jnp.asarray(LB.ints_to_limbs(np.array(s, dtype=object)))
+            for s in scalar_sets
+        ],
+        axis=1,
+    )  # (L, B, n)
+    res = MSM.msm_multi(CJ.FQ_OPS, pts_dev, sc, chunk=4)
+    fq = CJ.FQ_OPS
+    for b in range(bsz):
+        expect = G1.identity()
+        for s, pt in zip(scalar_sets[b], base_pts):
+            expect = expect.add(pt.mul(s))
+        aff = CJ.ec_to_affine(CJ.FQ_OPS, {k: (tuple(c[:, b] for c in v) if isinstance(v, tuple) else v[:, b]) for k, v in res.items()})
+        if bool(np.asarray(aff["inf"])):
+            got = G1.identity()
+        else:
+            got = G1(int(fq.to_ints(aff["x"])), int(fq.to_ints(aff["y"])))
+        assert got == expect, f"batch element {b} mismatch"

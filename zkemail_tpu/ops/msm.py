@@ -103,10 +103,45 @@ def msm(
     n_windows = n_windows or -(-254 // c_bits)
     n_buckets = 1 << (c_bits - 1)
     t_threads = chunk or max(1, min(512, n // 4 or 1))
+    mag, neg = extract_signed_digits(scalars, c_bits, n_windows)
+    total = _window_sums(ops, points, mag, neg, t_threads, n_buckets)
+    return _horner_combine(ops, total, n_windows, c_bits)
+
+
+def msm_multi(ops, points, scalars: jnp.ndarray, chunk: int = 0, c_bits: int = C_BITS):
+    """Batched MSM with shared bases: scalars (L, B, n) -> point batch (B,).
+
+    The batch dimension rides the window axis: one bucket-accumulation scan
+    serves all B scalar vectors over the same point set with lanes
+    (B*W, T). Total EC-add work equals B separate MSMs, but the serial
+    bucket-reduction / Horner tails are amortized across the batch and the
+    whole batch is one jitted program (the DP axis of Groth16 prove —
+    BASELINE.json config "64 DKIM proofs").
+    """
+    _, bsz, n = scalars.shape
+    n_windows = -(-254 // c_bits)
+    n_buckets = 1 << (c_bits - 1)
+    t_threads = chunk or max(1, min(max(1, 512 // bsz), n // 4 or 1))
+    mag, neg = extract_signed_digits(
+        scalars.reshape(L, bsz * n), c_bits, n_windows
+    )
+    # (W, B*n) -> (B*W, n): each batch element owns a contiguous window block
+    mag = mag.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(bsz * n_windows, n)
+    neg = neg.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(bsz * n_windows, n)
+    total = _window_sums(ops, points, mag, neg, t_threads, n_buckets)
+    total = _map_coords(total, lambda c: c.reshape((L, bsz, n_windows)))
+    return _horner_combine(ops, total, n_windows, c_bits)
+
+
+def _window_sums(ops, points, mag, neg, t_threads: int, n_buckets: int):
+    """Bucket accumulation + thread tree-reduce + running-sum reduction.
+
+    mag/neg: (Weff, n) signed digits over a shared point batch (n,).
+    Returns per-window sums: a point with batch shape (Weff,).
+    """
+    n_windows, n = mag.shape
     n_pad = ((n + t_threads - 1) // t_threads) * t_threads
     pad = n_pad - n
-
-    mag, neg = extract_signed_digits(scalars, c_bits, n_windows)
     if pad:
         mag = jnp.pad(mag, ((0, 0), (0, pad)))
         neg = jnp.pad(neg, ((0, 0), (0, pad)))
@@ -168,17 +203,26 @@ def msm(
     (run, total), _ = maybe_scan(
         bucket_body, (ident_w, ident_w), _move_pt_axis(ops, rev, 1, 0)
     )
+    return total
 
-    # Horner combine over windows: res = sum_w 2^(c*w) S_w — as a scan so the
-    # traced graph stays one window-body deep
+
+def _horner_combine(ops, total, n_windows: int, c_bits: int):
+    """res = sum_w 2^(c*w) S_w over the LAST batch axis of `total`.
+
+    total: point with batch shape (..., n_windows) -> batch (...). A scan so
+    the traced graph stays one window-body deep; leading batch axes (the
+    msm_multi proof batch) ride the lanes of every doubling/add.
+    """
+
     def horner_body(res, s_w):
         res = maybe_fori(c_bits, lambda i, r: CJ.ec_double(ops, r), res)
         res = CJ.ec_add(ops, res, s_w)
         return res, None
 
-    res = _index_pt(ops, total, (n_windows - 1,))
-    rest = _index_pt(ops, total, (slice(n_windows - 2, None, -1),))
-    res, _ = maybe_scan(horner_body, res, _move_pt_axis(ops, rest, 0, 0))
+    res = _index_pt(ops, total, (Ellipsis, n_windows - 1))
+    rest = _index_pt(ops, total, (Ellipsis, slice(n_windows - 2, None, -1)))
+    rest = _map_coords(rest, lambda c: jnp.moveaxis(c, c.ndim - 1, 0))
+    res, _ = maybe_scan(horner_body, res, rest)
     return res
 
 

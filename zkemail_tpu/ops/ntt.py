@@ -72,8 +72,15 @@ def _n_inv_mont(log_n: int) -> np.ndarray:
 
 
 def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """NTT/iNTT of (L, n) Montgomery-form Fr values, n a power of two."""
+    """NTT/iNTT of (L, n, ...) Montgomery-form Fr values, n a power of two.
+
+    Trailing axes after the polynomial axis are independent batch lanes
+    (the DP proof batch) — each stage's butterfly mont_mul vectorizes over
+    them for free.
+    """
     n = values.shape[1]
+    rest = values.shape[2:]
+    r1 = (1,) * len(rest)
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
     x = values[:, _bit_reverse_perm(log_n)]
@@ -81,16 +88,16 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     for s in range(log_n):
         m = 1 << (s + 1)
         half = m // 2
-        xr = x.reshape(L, n // m, m)
+        xr = x.reshape((L, n // m, m) + rest)
         even = xr[:, :, :half]
         odd = xr[:, :, half:]
-        tw = jnp.asarray(tws[s])[:, None, :]  # (L, 1, half)
+        tw = jnp.asarray(tws[s]).reshape((L, 1, half) + r1)
         t = LB.mont_mul(FS, odd, jnp.broadcast_to(tw, odd.shape))
         x = jnp.concatenate(
             [LB.add(FS, even, t), LB.sub(FS, even, t)], axis=2
-        ).reshape(L, n)
+        ).reshape((L, n) + rest)
     if inverse:
-        ninv = jnp.asarray(_n_inv_mont(log_n))[:, None]
+        ninv = jnp.asarray(_n_inv_mont(log_n)).reshape((L, 1) + r1)
         x = LB.mont_mul(FS, x, jnp.broadcast_to(ninv, x.shape))
     return x
 
@@ -115,6 +122,7 @@ def coset_scale(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     n = values.shape[1]
     log_n = n.bit_length() - 1
     pw = jnp.asarray(_coset_powers(log_n, inverse))
+    pw = pw.reshape(pw.shape + (1,) * (values.ndim - 2))
     return LB.mont_mul(FS, values, pw)
 
 

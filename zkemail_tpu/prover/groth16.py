@@ -21,7 +21,7 @@ from ..core import field as F
 from ..core import limbs as LB
 from ..core.curve import G1, G2
 from ..ops import ntt as NTT
-from ..ops.msm import msm
+from ..ops.msm import msm, msm_multi
 from .containers import Proof
 from .setup import ProvingKey
 
@@ -61,14 +61,19 @@ def _lazy_reduce_to_mont(t: jnp.ndarray) -> jnp.ndarray:
     x = jnp.stack(outs, axis=0)
     # x < 2^264 and already mont-form (sum of mont products); mont_mul(x, R)
     # = x*R*R^-1 = x mod p — canonical reduction preserving the mont domain
-    r1 = jnp.asarray(FS.np_r)[:, None]
+    r1 = jnp.asarray(FS.np_r).reshape((L,) + (1,) * (x.ndim - 1))
     return LB.mont_mul(FS, x, jnp.broadcast_to(r1, x.shape))
 
 
 def qap_vector(cc, which: str, w_mont: jnp.ndarray, m: int) -> jnp.ndarray:
-    """(Mw) per-constraint dot products, padded to domain size m; mont form."""
+    """(Mw) per-constraint dot products, padded to domain size m; mont form.
+
+    w_mont may carry trailing batch axes (L, n_signals, ...); the gather,
+    mont-mul, and scatter-add all vectorize over them.
+    """
     rows, cols, coeffs = _matrix_pack(cc, which)
-    gathered = w_mont[:, cols]  # (L, nnz)
+    gathered = w_mont[:, cols]  # (L, nnz, ...)
+    coeffs = coeffs.reshape(coeffs.shape + (1,) * (w_mont.ndim - 2))
     prods = LB.mont_mul(FS, gathered, coeffs)
     acc = jnp.zeros((L, m) + prods.shape[2:], dtype=jnp.int32)
     acc = acc.at[:, rows].add(prods)
@@ -89,7 +94,9 @@ def compute_h(cc, w_mont: jnp.ndarray, log_m: int) -> jnp.ndarray:
     c_e = NTT.coset_ntt(c_c)
     ab = LB.mont_mul(FS, a_e, b_e)
     diff = LB.sub(FS, ab, c_e)
-    zinv = jnp.asarray(NTT.z_on_coset_inv_mont(log_m))[:, None]
+    zinv = jnp.asarray(NTT.z_on_coset_inv_mont(log_m)).reshape(
+        (L,) + (1,) * (diff.ndim - 1)
+    )
     h_e = LB.mont_mul(FS, diff, jnp.broadcast_to(zinv, diff.shape))
     return NTT.coset_intt(h_e)
 
@@ -131,6 +138,83 @@ def _device_prove_fn(cc, pk):
         return a_dev, b2_dev, b1_dev, c_dev, h_dev
 
     return f
+
+
+def _pt_at(pt, i: int):
+    """Index one element out of a point pytree's batch axis."""
+
+    def f(c):
+        if isinstance(c, tuple):
+            return tuple(x[:, i] for x in c)
+        return c[:, i]
+
+    return {k: f(v) for k, v in pt.items()}
+
+
+def _device_prove_batch_fn(cc, pk):
+    """Batched device phase: witness (L, n_signals, B) -> 5 point batches (B,).
+
+    One program for the whole proof batch: the QAP matvecs / NTTs vectorize
+    over the trailing batch axis, and the five MSMs run as shared-base
+    msm_multi calls (batch rides the Pippenger window axis)."""
+    n_priv_offset = pk.n_public + 1
+    m = 1 << pk.domain_log2
+
+    def f(witness, a_q, b1_q, b2_q, c_q, h_q):
+        w_mont = LB.to_mont(FS, witness)
+        h_coeffs = compute_h(cc, w_mont, pk.domain_log2)  # (L, m, B)
+        h_std = LB.from_mont(FS, h_coeffs)
+        w_t = jnp.moveaxis(witness, 2, 1)  # (L, B, n_signals)
+        h_t = jnp.moveaxis(h_std, 2, 1)  # (L, B, m)
+        a_dev = msm_multi(CJ.FQ_OPS, a_q, w_t)
+        b2_dev = msm_multi(CJ.FQ2_OPS, b2_q, w_t)
+        b1_dev = msm_multi(CJ.FQ_OPS, b1_q, w_t)
+        c_dev = msm_multi(CJ.FQ_OPS, c_q, w_t[:, :, n_priv_offset:])
+        h_dev = msm_multi(CJ.FQ_OPS, h_q, h_t[:, :, : m - 1])
+        return a_dev, b2_dev, b1_dev, c_dev, h_dev
+
+    return f
+
+
+def prove_batch(
+    pk: ProvingKey, cc, witnesses: jnp.ndarray, rng: random.Random | None = None
+) -> list[tuple[Proof, list[int]]]:
+    """Prove a batch of witnesses (L, n_signals, B) in one device program.
+
+    Returns a list of (proof, public_inputs), one per batch element. The
+    per-proof r/s blinding and final point assembly stay on the host (cheap,
+    O(1) EC ops per proof)."""
+    from ..utils.scan import jit_on_accel
+
+    rng = rng or random.Random()
+    bsz = witnesses.shape[2]
+    fn = jit_on_accel(
+        _device_prove_batch_fn(cc, pk), key=("prove_batch", bsz, id(cc), id(pk))
+    )
+    a_dev, b2_dev, b1_dev, c_dev, h_dev = fn(
+        witnesses, pk.a_query, pk.b1_query, pk.b2_query, pk.c_query, pk.h_query
+    )
+
+    out = []
+    w_host = np.asarray(witnesses)
+    for i in range(bsz):
+        r = rng.randrange(P)
+        s = rng.randrange(P)
+        a_pt = _to_host_g1(_pt_at(a_dev, i)).add(pk.alpha_g1).add(pk.delta_g1.mul(r))
+        b_pt = _to_host_g2(_pt_at(b2_dev, i)).add(pk.beta_g2).add(pk.delta_g2.mul(s))
+        b1_pt = _to_host_g1(_pt_at(b1_dev, i)).add(pk.beta_g1).add(pk.delta_g1.mul(s))
+        c_pt = (
+            _to_host_g1(_pt_at(c_dev, i))
+            .add(_to_host_g1(_pt_at(h_dev, i)))
+            .add(a_pt.mul(s))
+            .add(b1_pt.mul(r))
+            .add(pk.delta_g1.mul((-r * s) % P))
+        )
+        publics = [
+            int(v) for v in LB.limbs_to_ints(w_host[:, 1 : pk.n_public + 1, i])
+        ]
+        out.append((Proof(a_pt, b_pt, c_pt), publics))
+    return out
 
 
 def prove(
