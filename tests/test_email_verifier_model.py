@@ -132,3 +132,33 @@ def test_email_verifier_header_masking():
     header = [int(x) for x in raw["emailHeader"]]
     assert masked[:32] == header[:32]
     assert all(v == 0 for v in masked[32:])
+
+
+def test_email_verifier_decoy_bh_in_subject_rejected():
+    """A second `bh=<44 chars>;` planted in an attacker-controlled Subject
+    must NOT be bindable as the body hash: the DFA anchors extraction to the
+    `dkim-signature:` header structure (email-verifier.circom:124-131 role),
+    so pointing bodyHashIndex at the decoy leaves the reveal window empty and
+    the R1CS unsatisfied."""
+    cfg = EmailVerifierConfig(max_headers_length=448, max_body_length=192)
+    body = b"Body bound to the real hash.\r\n"
+    decoy = "bh=" + "A" * 43 + "=;"
+    eml = SIGNER.sign_email(subject=f"decoy {decoy} end", body=body)
+    args = InputGenArgs(max_headers_length=448, max_body_length=192)
+    handles = build_email_verifier(cfg)
+    cc = handles.cs.compile()
+    raw = generate_email_verifier_inputs(eml, SIGNER.resolver(), args)
+    # honest inputs still satisfy (decoy elsewhere is harmless)
+    inputs = prepare_inputs([raw], cfg)
+    w = cc.eval_witness(inputs, 1)
+    assert cc.check_satisfied_device(w[:, :, 0])
+    # malicious prover: bind the body check to the decoy's position
+    header = bytes(int(x) for x in raw["emailHeader"])
+    decoy_idx = header.find(decoy.encode()) + 3
+    assert decoy_idx > 2, "decoy must be present in the signed header"
+    assert decoy_idx != int(raw["bodyHashIndex"])
+    bad = dict(raw)
+    bad["bodyHashIndex"] = str(decoy_idx)
+    inputs2 = prepare_inputs([bad], cfg)
+    w2 = cc.eval_witness(inputs2, 1)
+    assert not cc.check_satisfied_device(w2[:, :, 0])

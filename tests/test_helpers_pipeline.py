@@ -54,8 +54,6 @@ def test_partial_sha_midstate():
     padded, plen = SU.sha256_pad(data, 448)
     pre, remaining, rem_len = SU.generate_partial_sha(padded, plen, "SELECTOR", 384)
     # resuming from the midstate over the remaining bytes equals the full hash
-    state = SU.bytes_to_state(pre)
-    full = SU.state_to_bytes(SU.sha256_state(remaining[: rem_len - (plen - plen)][: rem_len], state)[:8]) if False else None
     state2 = SU.sha256_state(remaining[:rem_len], SU.bytes_to_state(pre))
     assert SU.state_to_bytes(state2) == hashlib.sha256(data).digest()
 

@@ -109,18 +109,24 @@ def fp_mul(
     r: SignalVec,  # (k,) hint limbs: remainder  (the result)
     carries: SignalVec,  # (2k-2,) hint carry signals
     range_check_hints: bool = True,
+    check_r_lt_modulus: bool = True,
 ) -> SignalVec:
     """r = a * b mod modulus (FpMul:16).
 
     Verifies a*b - q*modulus - r == 0 as integers via 2k-1 point evaluations,
-    Lagrange interpolation back to coefficients, and a carry chain.
-    Returns r.
+    Lagrange interpolation back to coefficients, and a carry chain; asserts
+    the remainder is fully reduced (r < modulus, fp.circom:36-56 BigLessThan)
+    so intermediate results are the canonical representatives the audited
+    reference circuit guarantees. Returns r.
     """
     k = a.shape[0]
     n_pts = 2 * k - 1
     if range_check_hints:
         range_check_limbs(cs, q)
         range_check_limbs(cs, r)
+    if check_r_lt_modulus:
+        lt = big_less_than(cs, r, modulus)
+        cs.enforce_equal(lt.lc(), LC([], 1))
 
     # point evaluations: A(x)*B(x) = vab[x]; Q(x)*M(x) = vqm[x]
     xs = np.arange(n_pts, dtype=object)

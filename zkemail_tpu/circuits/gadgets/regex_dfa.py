@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ...core import field as F
 from ..builder import LC, ConstraintSystem, SignalVec
 from ..regex_compiler import DFA
-from .basic import is_equal, is_zero, less_than
+from .basic import is_equal, is_zero, less_than, num2bits
 
 L = F.LIMBS
 
@@ -47,11 +47,26 @@ def dfa_match_gadget(
     data: SignalVec,  # (maxLen,) byte signals
     dfa: DFA,
     n_reveal_groups: int = 1,
+    reveal_tags: list[int] | None = None,
+    initial_state: int | None = None,
+    bytes_checked: bool = False,
 ):
     """Returns (is_match, reveal) where reveal is (n_reveal_groups, maxLen)
-    signals equal to data[i] on tag-marked consumed bytes and 0 elsewhere."""
+    signals equal to data[i] on tag-marked consumed bytes and 0 elsewhere.
+
+    reveal_tags maps reveal rows to capture-group tags (default 0..n-1).
+    initial_state overrides dfa.start — e.g. the state after consuming a
+    virtual "\\r\\n" prefix, which realizes zk-regex's `(\\r\\n|^)` line anchor
+    without materializing extra signals (the prefix bytes are constants).
+    bytes_checked: pass True when `data` is already range-checked to 8 bits
+    elsewhere (e.g. by sha256_bytes); False adds the checks here."""
     n = data.shape[0]
     S = dfa.n_states
+    if not bytes_checked:
+        num2bits(cs, data, 8)
+    start_state = dfa.start if initial_state is None else initial_state
+    if reveal_tags is None:
+        reveal_tags = list(range(n_reveal_groups))
 
     # ---- group transitions: (state, target, tag) -> byteset ---------------
     trans: dict[tuple[int, int, int], set] = {}
@@ -63,20 +78,42 @@ def dfa_match_gadget(
     trans = {k: frozenset(v) for k, v in trans.items()}
 
     # ---- shared byteset indicators ---------------------------------------
+    # One threshold signal t_c = (byte < c) per DISTINCT range boundary,
+    # shared across all bytesets; a range [lo, hi] is then the LINEAR
+    # combination t_{hi+1} - t_{lo}, and a byteset is the sum of its ranges.
+    # Single-byte ranges use one shared is_equal. This cuts per-position
+    # indicator cost ~5x vs per-range comparator pairs + products.
+    # NOTE: threshold/equality semantics assume byte values < 256 — callers
+    # must range-check `data` to 8 bits (sha256_bytes does; standalone users
+    # pass bytes_checked=False to get checks here).
     full = frozenset(range(256))
     uniq_sets = {bs for (_, _, _), bs in trans.items() if bs != full}
-    indicators: dict[frozenset, SignalVec | None] = {full: None}
+    thresholds: dict[int, SignalVec] = {}
+    equalities: dict[int, SignalVec] = {}
+
+    def thr(c: int) -> LC:
+        """(byte < c) as an LC; degenerate bounds fold to constants."""
+        if c <= 0:
+            return LC([], 0)
+        if c >= 256:
+            return LC([], 1)
+        if c not in thresholds:
+            thresholds[c] = less_than(cs, data, LC([], c), 9)
+        return LC.of(thresholds[c])
+
+    def eq_ind(c: int) -> LC:
+        if c not in equalities:
+            equalities[c] = is_equal(cs, data, LC([], c))
+        return LC.of(equalities[c])
+
+    indicators: dict[frozenset, LC | None] = {full: None}
     for bs in uniq_sets:
-        ranges = _byteset_ranges(bs)
-        acc = None
-        for lo, hi in ranges:
+        acc = LC([], 0)
+        for lo, hi in _byteset_ranges(bs):
             if lo == hi:
-                ind = is_equal(cs, data, LC([], lo))
+                acc = acc + eq_ind(lo)
             else:
-                ge = less_than(cs, LC([], lo - 1), data, 9)
-                le = less_than(cs, data, LC([], hi + 1), 9)
-                ind = cs.mul(ge, le, "dfa_range")
-            acc = ind if acc is None else cs.define(acc + ind.lc(), "dfa_ind_sum")
+                acc = acc + thr(hi + 1) - thr(lo)
         indicators[bs] = acc
 
     # ---- state one-hots ----------------------------------------------------
@@ -93,7 +130,7 @@ def dfa_match_gadget(
             nxt = table[state, byte_row]
             return nxt, nxt
 
-        init_state = jnp.full((bsz,), dfa.start, dtype=jnp.int32)
+        init_state = jnp.full((bsz,), start_state, dtype=jnp.int32)
         _, states = jax.lax.scan(body, init_state, bytes_v)
         all_states = jnp.concatenate([init_state[None], states], axis=0)  # (n+1, B)
         oh = (all_states[:, None, :] == jnp.arange(S, dtype=jnp.int32)[None, :, None]).astype(jnp.int32)
@@ -101,16 +138,15 @@ def dfa_match_gadget(
         return jnp.stack([flat] + [jnp.zeros_like(flat)] * (L - 1), axis=0)
 
     cs.set_witness(onehot, step, "dfa_states")
-    cs.enforce_bit(onehot)
-    # initial state row: constants
+    # One-hot-ness needs NO bit/row-sum constraints: row 0 is constant
+    # one-hot (below), and since the DFA's transition function PARTITIONS the
+    # byte alphabet per state, the per-position byteset indicators of one
+    # state sum to exactly 1 for any byte in [0, 256). By induction each
+    # next-state row (linear in products of a one-hot row with a partition
+    # of indicators) is again one-hot. Same argument as zk-regex-circom.
     init = np.zeros(S, dtype=object)
-    init[dfa.start] = 1
+    init[start_state] = 1
     cs.enforce_equal(SignalVec(onehot.idx[0]).lc(), LC([], init))
-    # each row sums to one
-    row_sum = LC([], 0)
-    for s in range(S):
-        row_sum = row_sum + SignalVec(onehot.idx[:, s])
-    cs.enforce_equal(row_sum, LC([], 1))
 
     # ---- transition products + next-state rows ----------------------------
     # trans_active[(s,t,tag)] (n,) = onehot[i, s] * ind(byte_i in B)
@@ -134,7 +170,7 @@ def dfa_match_gadget(
 
     # ---- reveal arrays ----------------------------------------------------
     reveals = []
-    for g in range(n_reveal_groups):
+    for g in reveal_tags:
         tag_sum = LC([], 0)
         any_tag = False
         for (s, t, tag), a in active.items():

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ...core import field as F
 from ..builder import LC, ConstraintSystem, SignalVec
-from .basic import is_zero
+from .basic import is_zero, num2bits
 from .sha256 import Sha256Instance, _word_lc
 
 P = F.R
@@ -38,6 +38,13 @@ def sha256_bytes(
     max_len = data_bytes.shape[0]
     assert max_len % 64 == 0, "maxByteLength must be a multiple of 64"
     nb = max_len // 64
+
+    # per-byte 8-bit range checks (Sha256Bytes repack, sha.circom:17-38).
+    # Load-bearing for soundness: the word-tie below is LINEAR, so without
+    # these a prover could shift +-256 between adjacent bytes (same words,
+    # same digest) and feed forged byte values to downstream byte-level
+    # gadgets (regex DFA, zero-padding, masking).
+    num2bits(cs, data_bytes, 8)
 
     def get_block_words(env, data_bytes=data_bytes, nb=nb):
         bvals = env.u32(data_bytes)  # (max_len, B)
@@ -93,8 +100,9 @@ def sha256_bytes_partial(
                 ]
             )
         )
-    word_sigs = cs.define(_stack_lcs(words), "sha_midstate") if False else None
-    # simpler: allocate 8 word signals tied to the byte LCs
+    # range-check the midstate bytes, then allocate 8 word signals tied to
+    # the byte LCs (same linear-tie soundness argument as sha256_bytes)
+    num2bits(cs, midstate_bytes, 8)
     ws = cs.alloc((8,), "sha_midstate_words")
     for wi in range(8):
         cs.enforce_equal(words[wi], ws[wi])
@@ -121,10 +129,6 @@ def sha256_bytes_partial(
         return (w[:, 0] << 24) | (w[:, 1] << 16) | (w[:, 2] << 8) | w[:, 3]
 
     return sha256_bytes(cs, data_bytes, padded_len, ws, get_midstate)
-
-
-def _stack_lcs(lcs):
-    raise NotImplementedError
 
 
 def pack_digest_hi_lo(cs: ConstraintSystem, digest_bits: SignalVec):

@@ -283,7 +283,31 @@ def dfa_match(dfa: DFA, data: bytes, anchored: bool = False):
     return False, {}
 
 
+def dfa_state_after(dfa: DFA, prefix: bytes) -> int:
+    """State reached after consuming `prefix` from the start state.
+
+    Used to realize zk-regex's `(\\r\\n|^)` anchor: compile the pattern with
+    a literal \\r\\n prefix (unanchored), then start the in-circuit scan in
+    the post-\\r\\n state — position 0 then behaves as if at a line start.
+    """
+    s = dfa.start
+    for b in prefix:
+        s = dfa.next_state[s][b]
+    return s
+
+
 # The DKIM body-hash regex used by the reference's BodyHashRegex
 # (zk-regex-circom 2.3.2): matches "bh=<base64>;" inside the canonicalized
 # DKIM-Signature header, revealing the base64 value (group 0).
 BODY_HASH_PATTERN = r"bh=([a-zA-Z0-9+/=]+);"
+
+# Full anchored pattern of zk-regex-circom 2.3.2's body_hash.json
+# (email-verifier.circom:124-131): the bh= tag must occur inside a
+# DKIM-Signature header at a line start, after at least one `tag=value; `
+# pair (v=1 is mandatory first per RFC 6376). Group 1 (the base64 value)
+# is the reveal group. Compile with anchored=False and start the scan at
+# dfa_state_after(dfa, b"\r\n") to get the (\r\n|^) semantics.
+BODY_HASH_ANCHORED_PATTERN = (
+    r"\r\ndkim-signature:([a-z]+=[^;]+; )+bh=([a-zA-Z0-9+/=]+);"
+)
+BODY_HASH_REVEAL_GROUP = 1

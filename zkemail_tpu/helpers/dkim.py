@@ -170,13 +170,25 @@ def verify_dkim_signature(
     domain: str | None = None,
     enable_sanitization: bool = True,
     fall_back_to_maybe_expired_keys: bool = False,
+    skip_body_hash: bool = False,
 ) -> DKIMVerificationResult:
     """Full DKIM verification. resolver: (domain, selector) -> [(n, e), ...].
+
+    When `domain` is not given it defaults to the From: address domain, and
+    only signatures whose d= matches are considered (dkim/index.ts:141-147) —
+    a signature by an unrelated domain must not authenticate the mail.
+    `skip_body_hash` mirrors the reference's skipBodyHashCheck arg (bodyless
+    emails, dkim.test.ts "should skip body-hash verification").
 
     On signature failure, retries the email sanitizers
     (packages/helpers/src/dkim/sanitizers.ts:65) before giving up.
     """
     from .sanitizers import SANITIZERS
+
+    if not domain:
+        domain = extract_from_domain(raw_email)
+        if not domain:
+            raise DKIMError("ENOFROM", "could not determine From: domain")
 
     attempts = [(None, raw_email)]
     if enable_sanitization:
@@ -186,7 +198,7 @@ def verify_dkim_signature(
         if candidate is None:
             continue
         try:
-            res = _try_verify(candidate, resolver, domain)
+            res = _try_verify(candidate, resolver, domain, skip_body_hash)
             res.applied_sanitization = name
             return res
         except DKIMError as exc:
@@ -196,7 +208,9 @@ def verify_dkim_signature(
     raise last_err if last_err else DKIMError("ENOSIG", "no DKIM signature found")
 
 
-def _try_verify(raw_email: bytes, resolver, domain: str | None) -> DKIMVerificationResult:
+def _try_verify(
+    raw_email: bytes, resolver, domain: str | None, skip_body_hash: bool = False
+) -> DKIMVerificationResult:
     parsed = parse_message(raw_email)
     sigs = [
         (name, raw_line, value)
@@ -212,7 +226,7 @@ def _try_verify(raw_email: bytes, resolver, domain: str | None) -> DKIMVerificat
         if domain and d.lower() != domain.lower():
             continue
         try:
-            return _verify_one(parsed, raw_line, tags, resolver)
+            return _verify_one(parsed, raw_line, tags, resolver, skip_body_hash)
         except DKIMError as exc:
             errors.append(exc)
     if errors:
@@ -220,7 +234,9 @@ def _try_verify(raw_email: bytes, resolver, domain: str | None) -> DKIMVerificat
     raise DKIMError("ENOSIG", f"no DKIM signature for domain {domain}")
 
 
-def _verify_one(parsed, sig_header_raw, tags, resolver) -> DKIMVerificationResult:
+def _verify_one(
+    parsed, sig_header_raw, tags, resolver, skip_body_hash: bool = False
+) -> DKIMVerificationResult:
     algo = tags.get("a", "rsa-sha256")
     if algo != "rsa-sha256":
         raise DKIMError("EINVALIDALGO", f"unsupported algorithm {algo}")
@@ -233,7 +249,7 @@ def _verify_one(parsed, sig_header_raw, tags, resolver) -> DKIMVerificationResul
     bh_expected = tags.get("bh", "")
     body_canonical = canon_body(parsed.body, body_canon, length)
     bh_actual = base64.b64encode(sha256(body_canonical)).decode()
-    if bh_actual != bh_expected:
+    if bh_actual != bh_expected and not skip_body_hash:
         raise DKIMError("EBODYHASH", "body hash did not verify")
 
     base = build_signature_base(parsed, sig_header_raw, tags)

@@ -44,15 +44,9 @@ def _rsa_from_spki(der: bytes) -> tuple[int, int]:
     """Extract (n, e) from an ASN.1 SubjectPublicKeyInfo (or PKCS#1) blob."""
     from cryptography.hazmat.primitives.serialization import load_der_public_key
 
-    try:
-        key = load_der_public_key(der)
-        nums = key.public_numbers()
-        return (nums.n, nums.e)
-    except Exception:
-        # tolerate raw PKCS#1 RSAPublicKey
-        from cryptography.hazmat.primitives.serialization import load_der_public_key as _l
-
-        raise
+    key = load_der_public_key(der)
+    nums = key.public_numbers()
+    return (nums.n, nums.e)
 
 
 class StaticResolver:

@@ -22,7 +22,14 @@ from ..circuits.gadgets.base64 import base64_decode
 from ..circuits.gadgets.bytes import byte_mask
 from ..circuits.gadgets.email_helpers import remove_soft_line_breaks
 from ..circuits.gadgets.poseidon_gadget import poseidon_large
-from ..circuits.gadgets.regex import body_hash_locator
+from ..circuits.gadgets.regex import select_regex_reveal
+from ..circuits.gadgets.regex_dfa import dfa_match_gadget
+from ..circuits.regex_compiler import (
+    BODY_HASH_ANCHORED_PATTERN,
+    BODY_HASH_REVEAL_GROUP,
+    compile_regex,
+    dfa_state_after,
+)
 from ..circuits.gadgets.rsa import rsa_verifier_65537
 from ..circuits.gadgets.sha_wrappers import (
     pack_digest_hi_lo,
@@ -109,9 +116,29 @@ def build_email_verifier(cfg: EmailVerifierConfig) -> EmailVerifierHandles:
         bh_index = cs.add_input("bodyHashIndex", ())
         midstate = cs.add_input("precomputedSHA", (32,))
 
-        # locate + decode the bh= tag (stands in for BodyHashRegex,
-        # email-verifier.circom:124-131)
-        bh_chars = body_hash_locator(cs, header, bh_index)
+        # DFA-extract the bh= tag from the DKIM-Signature header structure
+        # (the zk-regex BodyHashRegex role, email-verifier.circom:124-131):
+        # the in-circuit scan anchors the reveal to a line-start
+        # `dkim-signature:` tag list, so a decoy `bh=...;` elsewhere in the
+        # signed header (e.g. in an attacker-chosen Subject) never marks
+        # reveal bytes and cannot be bound to the body check.
+        dfa = compile_regex(
+            BODY_HASH_ANCHORED_PATTERN,
+            reveal_groups={BODY_HASH_REVEAL_GROUP},
+            anchored=False,
+        )
+        is_match, reveal = dfa_match_gadget(
+            cs,
+            header,
+            dfa,
+            reveal_tags=[BODY_HASH_REVEAL_GROUP],
+            initial_state=dfa_state_after(dfa, b"\r\n"),
+            bytes_checked=True,  # sha256_bytes range-checks the header bytes
+        )
+        cs.enforce_equal(is_match.lc(), LC([], 1))
+        bh_chars = select_regex_reveal(
+            cs, SignalVec(reveal.idx[0]), bh_index, 44
+        )
         bh_decoded = base64_decode(cs, bh_chars, 32)
 
         assert_zero_padding(cs, body, body_len)

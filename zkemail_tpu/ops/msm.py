@@ -117,8 +117,23 @@ def msm_multi(ops, points, scalars: jnp.ndarray, chunk: int = 0, c_bits: int = C
     bucket-reduction / Horner tails are amortized across the batch and the
     whole batch is one jitted program (the DP axis of Groth16 prove —
     BASELINE.json config "64 DKIM proofs").
+
+    Axis convention: scalars is (L, B, n) — limbs first, batch SECOND, point
+    index LAST (the transpose of the NTT path's (L, n, B); prove_batch
+    moveaxes before calling). Checked here because a silently swapped layout
+    reshapes into garbage digits.
     """
+    if scalars.ndim != 3 or scalars.shape[0] != L:
+        raise ValueError(
+            f"msm_multi expects scalars shaped (L={L}, B, n); got {scalars.shape}"
+        )
     _, bsz, n = scalars.shape
+    n_points = jax.tree_util.tree_leaves(points)[0].shape[1]
+    if n != n_points:
+        raise ValueError(
+            f"msm_multi: scalars last axis ({n}) must equal point count "
+            f"({n_points}); batch axis goes second"
+        )
     n_windows = -(-254 // c_bits)
     n_buckets = 1 << (c_bits - 1)
     t_threads = chunk or max(1, min(max(1, 512 // bsz), n // 4 or 1))

@@ -71,20 +71,45 @@ def _n_inv_mont(log_n: int) -> np.ndarray:
     return LB.ints_to_limbs(np.array([F.FR.to_mont(n_inv)], dtype=object))[:, 0]
 
 
-def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+def domain_plan(log_n: int) -> dict:
+    """All host-precomputed NTT/coset constants as ONE pytree of arrays.
+
+    Inside jit these must arrive as *arguments*, not closure constants: the
+    twiddle tables total ~4x the polynomial size, and inlining them blows the
+    HLO past what a tunneled TPU compile endpoint accepts (HTTP 413 was the
+    round-1 bench failure mode). Pass plan = domain_plan(log_m) into the
+    jitted prove program and thread it to ntt()/coset_*()."""
+    return {
+        "perm": _bit_reverse_perm(log_n),
+        "tw_fwd": tuple(_stage_twiddles(log_n, False)),
+        "tw_inv": tuple(_stage_twiddles(log_n, True)),
+        "ninv": _n_inv_mont(log_n),
+        "coset_fwd": _coset_powers(log_n, False),
+        "coset_inv": _coset_powers(log_n, True),
+        "zinv": z_on_coset_inv_mont(log_n),
+    }
+
+
+def ntt(values: jnp.ndarray, inverse: bool = False, plan: dict | None = None) -> jnp.ndarray:
     """NTT/iNTT of (L, n, ...) Montgomery-form Fr values, n a power of two.
 
     Trailing axes after the polynomial axis are independent batch lanes
     (the DP proof batch) — each stage's butterfly mont_mul vectorizes over
-    them for free.
+    them for free. Pass `plan` (domain_plan) when tracing under jit so the
+    twiddles are function arguments rather than giant inline constants.
     """
     n = values.shape[1]
     rest = values.shape[2:]
     r1 = (1,) * len(rest)
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    x = values[:, _bit_reverse_perm(log_n)]
-    tws = _stage_twiddles(log_n, inverse)
+    perm = plan["perm"] if plan is not None else _bit_reverse_perm(log_n)
+    tws = (
+        (plan["tw_inv"] if inverse else plan["tw_fwd"])
+        if plan is not None
+        else _stage_twiddles(log_n, inverse)
+    )
+    x = values[:, perm]
     for s in range(log_n):
         m = 1 << (s + 1)
         half = m // 2
@@ -97,7 +122,8 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
             [LB.add(FS, even, t), LB.sub(FS, even, t)], axis=2
         ).reshape((L, n) + rest)
     if inverse:
-        ninv = jnp.asarray(_n_inv_mont(log_n)).reshape((L, 1) + r1)
+        ninv_arr = plan["ninv"] if plan is not None else _n_inv_mont(log_n)
+        ninv = jnp.asarray(ninv_arr).reshape((L, 1) + r1)
         x = LB.mont_mul(FS, x, jnp.broadcast_to(ninv, x.shape))
     return x
 
@@ -117,21 +143,26 @@ def _coset_powers(log_n: int, inverse: bool):
     return LB.ints_to_limbs(np.array(pw, dtype=object))
 
 
-def coset_scale(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+def coset_scale(
+    values: jnp.ndarray, inverse: bool = False, plan: dict | None = None
+) -> jnp.ndarray:
     """Multiply coefficient i by g^i (or g^-i) — coset evaluation shift."""
     n = values.shape[1]
     log_n = n.bit_length() - 1
-    pw = jnp.asarray(_coset_powers(log_n, inverse))
+    if plan is not None:
+        pw = jnp.asarray(plan["coset_inv"] if inverse else plan["coset_fwd"])
+    else:
+        pw = jnp.asarray(_coset_powers(log_n, inverse))
     pw = pw.reshape(pw.shape + (1,) * (values.ndim - 2))
     return LB.mont_mul(FS, values, pw)
 
 
-def coset_ntt(coeffs: jnp.ndarray) -> jnp.ndarray:
-    return ntt(coset_scale(coeffs), inverse=False)
+def coset_ntt(coeffs: jnp.ndarray, plan: dict | None = None) -> jnp.ndarray:
+    return ntt(coset_scale(coeffs, plan=plan), inverse=False, plan=plan)
 
 
-def coset_intt(evals: jnp.ndarray) -> jnp.ndarray:
-    return coset_scale(ntt(evals, inverse=True), inverse=True)
+def coset_intt(evals: jnp.ndarray, plan: dict | None = None) -> jnp.ndarray:
+    return coset_scale(ntt(evals, inverse=True, plan=plan), inverse=True, plan=plan)
 
 
 def z_on_coset_inv_mont(log_n: int) -> np.ndarray:

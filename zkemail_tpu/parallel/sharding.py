@@ -30,12 +30,10 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None):
     n = n_devices or len(devs)
     devs = devs[:n]
     if dp is None:
+        # largest power-of-two dp with dp <= msm shard count
         dp = 1
-        while dp * 2 <= n and (n // (dp * 2)) * (dp * 2) == n:
-            if dp * 2 > n // (dp * 2):
-                break
+        while dp * 2 <= n and n % (dp * 2) == 0 and dp * 2 <= n // (dp * 2):
             dp *= 2
-        dp = max(1, n // max(1, n // dp) ) if False else dp
     msm_size = n // dp
     mesh_devs = np.array(devs[: dp * msm_size]).reshape(dp, msm_size)
     return Mesh(mesh_devs, ("dp", "msm"))

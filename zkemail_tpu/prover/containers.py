@@ -33,6 +33,22 @@ class Proof:
         pc = G1(int(obj["pi_c"][0]), int(obj["pi_c"][1]))
         return Proof(pa, pb, pc)
 
+    def to_snarkjs(self) -> dict:
+        """Emit snarkjs proof.json structure (decimal strings, projective
+        z=1 third coordinate), consumable by snarkjs.groth16.verify and the
+        reference rust-verifier (verifier_utils.rs:65-91)."""
+        return {
+            "pi_a": [str(self.a.x), str(self.a.y), "1"],
+            "pi_b": [
+                [str(self.b.x.c0), str(self.b.x.c1)],
+                [str(self.b.y.c0), str(self.b.y.c1)],
+                ["1", "0"],
+            ],
+            "pi_c": [str(self.c.x), str(self.c.y), "1"],
+            "protocol": "groth16",
+            "curve": "bn128",
+        }
+
 
 @dataclass
 class VerifyingKey:
@@ -67,6 +83,37 @@ class VerifyingKey:
             delta_g2=g2(obj["vk_delta_2"]),
             ic=[g1(c) for c in obj["IC"]],
         )
+
+    def to_snarkjs(self) -> dict:
+        """Emit snarkjs vkey.json structure for our own CRS, so external
+        tooling (snarkjs verify, rust-verifier generate-verifier, this repo's
+        codegen CLI) can consume TPU-produced setups."""
+
+        def g1(p: G1):
+            return [str(p.x), str(p.y), "1"]
+
+        def g2(p: G2):
+            return [
+                [str(p.x.c0), str(p.x.c1)],
+                [str(p.y.c0), str(p.y.c1)],
+                ["1", "0"],
+            ]
+
+        return {
+            "protocol": "groth16",
+            "curve": "bn128",
+            "nPublic": len(self.ic) - 1,
+            "vk_alpha_1": g1(self.alpha_g1),
+            "vk_beta_2": g2(self.beta_g2),
+            "vk_gamma_2": g2(self.gamma_g2),
+            "vk_delta_2": g2(self.delta_g2),
+            "IC": [g1(p) for p in self.ic],
+        }
+
+
+def publics_to_snarkjs(public_inputs: list[int]) -> list[str]:
+    """snarkjs public.json: decimal strings."""
+    return [str(int(x) % R) for x in public_inputs]
 
 
 def verify(vk: VerifyingKey, proof: Proof, public_inputs: list[int]) -> bool:

@@ -65,13 +65,14 @@ def _lazy_reduce_to_mont(t: jnp.ndarray) -> jnp.ndarray:
     return LB.mont_mul(FS, x, jnp.broadcast_to(r1, x.shape))
 
 
-def qap_vector(cc, which: str, w_mont: jnp.ndarray, m: int) -> jnp.ndarray:
-    """(Mw) per-constraint dot products, padded to domain size m; mont form.
+def qap_matvec(mat, w_mont: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(Mw) per-constraint dot products for one packed matrix (rows, cols,
+    coeff limbs), padded to domain size m; mont form.
 
     w_mont may carry trailing batch axes (L, n_signals, ...); the gather,
     mont-mul, and scatter-add all vectorize over them.
     """
-    rows, cols, coeffs = _matrix_pack(cc, which)
+    rows, cols, coeffs = mat
     gathered = w_mont[:, cols]  # (L, nnz, ...)
     coeffs = coeffs.reshape(coeffs.shape + (1,) * (w_mont.ndim - 2))
     prods = LB.mont_mul(FS, gathered, coeffs)
@@ -80,25 +81,35 @@ def qap_vector(cc, which: str, w_mont: jnp.ndarray, m: int) -> jnp.ndarray:
     return _lazy_reduce_to_mont(acc)
 
 
-def compute_h(cc, w_mont: jnp.ndarray, log_m: int) -> jnp.ndarray:
-    """h(X) coefficients (mont form, length m; last entry is zero)."""
+def qap_vector(cc, which: str, w_mont: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Eager/test convenience wrapper over qap_matvec (matrix from cc)."""
+    return qap_matvec(_matrix_pack(cc, which), w_mont, m)
+
+
+def compute_h(mats, w_mont: jnp.ndarray, log_m: int, plan=None) -> jnp.ndarray:
+    """h(X) coefficients (mont form, length m; last entry is zero).
+
+    mats: {"A"/"B"/"C": (rows, cols, coeff_limbs)} — passed as jit ARGUMENTS,
+    never closed over: inlining ~nnz-sized constants into the HLO overflows
+    the tunneled TPU compile endpoint (HTTP 413). Same for `plan`
+    (NTT.domain_plan) carrying the twiddle tables.
+    """
     m = 1 << log_m
-    aw = qap_vector(cc, "A", w_mont, m)
-    bw = qap_vector(cc, "B", w_mont, m)
-    cw = qap_vector(cc, "C", w_mont, m)
-    a_c = NTT.ntt(aw, inverse=True)
-    b_c = NTT.ntt(bw, inverse=True)
-    c_c = NTT.ntt(cw, inverse=True)
-    a_e = NTT.coset_ntt(a_c)
-    b_e = NTT.coset_ntt(b_c)
-    c_e = NTT.coset_ntt(c_c)
+    aw = qap_matvec(mats["A"], w_mont, m)
+    bw = qap_matvec(mats["B"], w_mont, m)
+    cw = qap_matvec(mats["C"], w_mont, m)
+    a_c = NTT.ntt(aw, inverse=True, plan=plan)
+    b_c = NTT.ntt(bw, inverse=True, plan=plan)
+    c_c = NTT.ntt(cw, inverse=True, plan=plan)
+    a_e = NTT.coset_ntt(a_c, plan=plan)
+    b_e = NTT.coset_ntt(b_c, plan=plan)
+    c_e = NTT.coset_ntt(c_c, plan=plan)
     ab = LB.mont_mul(FS, a_e, b_e)
     diff = LB.sub(FS, ab, c_e)
-    zinv = jnp.asarray(NTT.z_on_coset_inv_mont(log_m)).reshape(
-        (L,) + (1,) * (diff.ndim - 1)
-    )
+    zinv_arr = plan["zinv"] if plan is not None else NTT.z_on_coset_inv_mont(log_m)
+    zinv = jnp.asarray(zinv_arr).reshape((L,) + (1,) * (diff.ndim - 1))
     h_e = LB.mont_mul(FS, diff, jnp.broadcast_to(zinv, diff.shape))
-    return NTT.coset_intt(h_e)
+    return NTT.coset_intt(h_e, plan=plan)
 
 
 def _to_host_g1(pt) -> G1:
@@ -122,13 +133,16 @@ def _to_host_g2(pt) -> G2:
 
 
 def _device_prove_fn(cc, pk):
-    """The all-device phase of proving as one (jittable) function."""
+    """The all-device phase of proving as one (jittable) function.
+
+    All nnz/domain-sized arrays (CRS queries, R1CS matrices, NTT plan) enter
+    as function ARGUMENTS — see compute_h docstring."""
     n_priv_offset = pk.n_public + 1
     m = 1 << pk.domain_log2
 
-    def f(witness, a_q, b1_q, b2_q, c_q, h_q):
+    def f(witness, a_q, b1_q, b2_q, c_q, h_q, mats, plan):
         w_mont = LB.to_mont(FS, witness)
-        h_coeffs = compute_h(cc, w_mont, pk.domain_log2)
+        h_coeffs = compute_h(mats, w_mont, pk.domain_log2, plan)
         h_std = LB.from_mont(FS, h_coeffs)
         a_dev = msm(CJ.FQ_OPS, a_q, witness)
         b2_dev = msm(CJ.FQ2_OPS, b2_q, witness)
@@ -138,6 +152,53 @@ def _device_prove_fn(cc, pk):
         return a_dev, b2_dev, b1_dev, c_dev, h_dev
 
     return f
+
+
+def _prove_consts(cc, pk):
+    """Device-resident (mats, plan) argument pytrees, cached on the pk.
+
+    These are ARGUMENTS to the jitted prove fn (not closure constants — see
+    compute_h); caching the device_put avoids re-shipping ~100s of MB of
+    matrices/twiddles over the (possibly tunneled) link on every prove call.
+    """
+    cache = getattr(pk, "_const_cache", None)
+    if cache is not None and cache[0] is cc:
+        return cache[1], cache[2]
+    mats = {k: _matrix_pack(cc, k) for k in ("A", "B", "C")}
+    plan = {
+        k: (
+            tuple(jnp.asarray(x) for x in v)
+            if isinstance(v, tuple)
+            else jnp.asarray(v)
+        )
+        for k, v in NTT.domain_plan(pk.domain_log2).items()
+    }
+    pk._const_cache = (cc, mats, plan)
+    return mats, plan
+
+
+def _jit_prove_fn(cc, pk, build, key):
+    """Jitted device-prove executable cached ON the ProvingKey.
+
+    The compiled program bakes in cc's R1CS matrices; keying a global cache by
+    id() would both collide after GC and pin cc/pk alive forever. Storing the
+    executable on pk (keyed by circuit identity + batch shape) bounds its
+    lifetime to the ProvingKey that owns the CRS it closes over.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return build(cc, pk)
+    cache = getattr(pk, "_jit_cache", None)
+    if cache is None:
+        cache = {}
+        pk._jit_cache = cache
+    k = key + (id(cc),)
+    if k not in cache:
+        import jax as _jax
+
+        cache[k] = _jax.jit(build(cc, pk))
+    return cache[k]
 
 
 def _pt_at(pt, i: int):
@@ -160,9 +221,9 @@ def _device_prove_batch_fn(cc, pk):
     n_priv_offset = pk.n_public + 1
     m = 1 << pk.domain_log2
 
-    def f(witness, a_q, b1_q, b2_q, c_q, h_q):
+    def f(witness, a_q, b1_q, b2_q, c_q, h_q, mats, plan):
         w_mont = LB.to_mont(FS, witness)
-        h_coeffs = compute_h(cc, w_mont, pk.domain_log2)  # (L, m, B)
+        h_coeffs = compute_h(mats, w_mont, pk.domain_log2, plan)  # (L, m, B)
         h_std = LB.from_mont(FS, h_coeffs)
         w_t = jnp.moveaxis(witness, 2, 1)  # (L, B, n_signals)
         h_t = jnp.moveaxis(h_std, 2, 1)  # (L, B, m)
@@ -184,15 +245,13 @@ def prove_batch(
     Returns a list of (proof, public_inputs), one per batch element. The
     per-proof r/s blinding and final point assembly stay on the host (cheap,
     O(1) EC ops per proof)."""
-    from ..utils.scan import jit_on_accel
-
-    rng = rng or random.Random()
+    rng = rng or random.SystemRandom()
     bsz = witnesses.shape[2]
-    fn = jit_on_accel(
-        _device_prove_batch_fn(cc, pk), key=("prove_batch", bsz, id(cc), id(pk))
-    )
+    fn = _jit_prove_fn(cc, pk, _device_prove_batch_fn, ("prove_batch", bsz))
+    mats, plan = _prove_consts(cc, pk)
     a_dev, b2_dev, b1_dev, c_dev, h_dev = fn(
-        witnesses, pk.a_query, pk.b1_query, pk.b2_query, pk.c_query, pk.h_query
+        witnesses, pk.a_query, pk.b1_query, pk.b2_query, pk.c_query, pk.h_query,
+        mats, plan,
     )
 
     out = []
@@ -224,15 +283,15 @@ def prove(
 
     Returns (proof, public_inputs).
     """
-    from ..utils.scan import jit_on_accel
-
-    rng = rng or random.Random()
+    rng = rng or random.SystemRandom()
     r = rng.randrange(P)
     s = rng.randrange(P)
 
-    fn = jit_on_accel(_device_prove_fn(cc, pk), key=("prove", id(cc), id(pk)))
+    fn = _jit_prove_fn(cc, pk, _device_prove_fn, ("prove",))
+    mats, plan = _prove_consts(cc, pk)
     a_dev, b2_dev, b1_dev, c_dev, h_dev = fn(
-        witness, pk.a_query, pk.b1_query, pk.b2_query, pk.c_query, pk.h_query
+        witness, pk.a_query, pk.b1_query, pk.b2_query, pk.c_query, pk.h_query,
+        mats, plan,
     )
 
     # host assembly with blinding

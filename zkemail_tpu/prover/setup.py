@@ -140,9 +140,15 @@ def groth16_setup(cc, seed: int = 0, progress=None) -> ProvingKey:
     gamma = rng.randrange(1, P)
     delta = rng.randrange(1, P)
 
+    import time as _time
+
+    _t = [_time.time()]
+
     def log(msg):
+        now = _time.time()
         if progress:
-            progress(msg)
+            progress(f"{msg} [+{now - _t[0]:.1f}s]")
+        _t[0] = now
 
     log("qap evaluations...")
     u, v, w, log_m, z_tau = qap_evaluations(cc, tau)
