@@ -45,26 +45,30 @@ def test_get_domain():
 
 
 def test_overrideable_registry_model():
-    m = UserOverrideableRegistryModel("MAIN", set_timestamp_delay=100, now=0)
-    dom, key = "d", "k"
-    # main approval activates only after the delay
-    m.set_key(dom, key, "MAIN")
-    assert not m.is_valid(dom, key, "user1")
+    """Smoke of the threshold semantics; the full reference matrix lives in
+    tests/test_contracts_registry_flows.py."""
+    m = UserOverrideableRegistryModel("0xmain", set_timestamp_delay=100, now=0)
+    dom, key = "d.example", 7
+    # main approval alone activates only after the delay
+    m.set_key(dom, key, "0xmain", sender="0xmain")
+    assert not m.is_valid(dom, key, "0xuser1")
     m.now = 100
-    assert m.is_valid(dom, key, "user1")
+    assert m.is_valid(dom, key, "0xuser1")
     # user can self-approve another key immediately
-    m.set_key(dom, "k2", "user2")
-    assert m.is_valid(dom, "k2", "user2")
-    assert not m.is_valid(dom, "k2", "user1")
-    # main revocation blocks everyone until per-user reactivation
-    m.revoke(dom, key, "MAIN")
-    assert not m.is_valid(dom, key, "user1")
-    m.reactivate(dom, key, "user1")
-    assert m.is_valid(dom, key, "user1")
-    assert not m.is_valid(dom, key, "user3")
+    m.set_key(dom, 8, "0xuser2", sender="0xuser2")
+    assert m.is_valid(dom, 8, "0xuser2")
+    assert not m.is_valid(dom, 8, "0xuser1")
+    # main revocation blocks everyone until per-user reactivation (which
+    # requires that user's own approval, set threshold >= 2)
+    m.revoke(dom, key, "0xmain", sender="0xmain")
+    assert not m.is_valid(dom, key, "0xuser1")
+    m.set_key(dom, key, "0xuser1", sender="0xuser1")
+    m.reactivate(dom, key, "0xuser1", sender="0xuser1")
+    assert m.is_valid(dom, key, "0xuser1")
+    assert not m.is_valid(dom, key, "0xuser3")
     # user self-revocation is final for that user
-    m.revoke(dom, "k2", "user2")
-    assert not m.is_valid(dom, "k2", "user2")
+    m.revoke(dom, 8, "0xuser2", sender="0xuser2")
+    assert not m.is_valid(dom, 8, "0xuser2")
 
 
 def test_registry_crawl_and_hash():

@@ -1,0 +1,97 @@
+"""mailauth tools parity: alignment, Authentication-Results, algorithm tag.
+
+Oracle: packages/helpers/src/lib/mailauth/tools.ts:380-511 semantics.
+"""
+
+import pytest
+
+from zkemail_tpu.helpers.tools import (
+    escape_comment_value,
+    escape_prop_value,
+    format_auth_header_row,
+    format_domain,
+    get_alignment,
+    psl_get,
+    validate_algorithm,
+)
+
+
+def test_psl_get_org_domains():
+    assert psl_get("mail.google.com") == "google.com"
+    assert psl_get("google.com") == "google.com"
+    assert psl_get("a.b.co.uk") == "b.co.uk"
+    assert psl_get("news.bbc.co.uk") == "bbc.co.uk"
+    assert psl_get("com") is None
+    assert psl_get("co.uk") is None
+    assert psl_get("") is None
+
+
+def test_get_alignment_relaxed_and_strict():
+    # relaxed: org domains match
+    assert get_alignment("mail.example.com", ["example.com"]) == "example.com"
+    assert get_alignment("example.com", ["mailer.example.com"]) == "example.com"
+    assert get_alignment("example.com", ["other.org"]) is False
+    # strict: exact domain equality first
+    assert get_alignment("sub.example.com", ["sub.example.com"], strict=True)
+    # strict falls back to org-domain matching (tools.ts:477-486)
+    assert get_alignment("sub.example.com", ["example.com"], strict=True) == "example.com"
+    # co.uk handling
+    assert get_alignment("news.bbc.co.uk", ["www.bbc.co.uk"]) == "bbc.co.uk"
+    assert get_alignment("news.bbc.co.uk", ["bbc2.co.uk"]) is False
+
+
+def test_format_domain_punycode():
+    assert format_domain("EXAMPLE.Com ") == "example.com"
+    assert format_domain("bücher.example") == "xn--bcher-kva.example"
+
+
+def test_auth_header_row():
+    row = format_auth_header_row(
+        "dkim",
+        {
+            "result": "pass",
+            "comment": "body hash ok)",
+            "header": {"i": "@example.com", "s": "sel1", "a": "rsa-sha256", "b": ""},
+        },
+    )
+    assert row == (
+        "dkim=pass (body hash ok\\)) header.i=@example.com "
+        "header.s=sel1 header.a=rsa-sha256"
+    )
+    assert format_auth_header_row("dkim", None) == "dkim=none"
+
+
+def test_escape_prop_value_quoting():
+    assert escape_prop_value("simple-token") == "simple-token"
+    assert escape_prop_value("has space") == '"has space"'
+    assert escape_prop_value('q"uote') == '"q\\"uote"'
+    assert escape_comment_value("a)b\\c") == "a\\)b\\\\c"
+
+
+def test_validate_algorithm():
+    validate_algorithm("rsa-sha256")
+    validate_algorithm("ed25519-sha256")
+    validate_algorithm("rsa-sha1")  # allowed when not strict
+    with pytest.raises(ValueError):
+        validate_algorithm("rsa-sha1", strict=True)
+    with pytest.raises(ValueError):
+        validate_algorithm("dsa-sha256")
+    with pytest.raises(ValueError):
+        validate_algorithm("rsasha256")
+    try:
+        validate_algorithm("rsa-md5")
+    except ValueError as exc:
+        assert exc.code == "EINVALIDALGO"
+
+
+def test_dkim_result_carries_auth_results():
+    from zkemail_tpu.helpers.dkim import verify_dkim_signature
+    from zkemail_tpu.helpers.testkit import LocalDKIMSigner
+
+    signer = LocalDKIMSigner()
+    eml = signer.sign_email(body=b"hello auth results\r\n")
+    res = verify_dkim_signature(eml, signer.resolver())
+    assert res.auth_results.startswith("dkim=pass")
+    assert f"header.s={res.selector}" in res.auth_results
+    # relaxed alignment yields the organizational domain of d=
+    assert res.status["aligned"] == psl_get(res.signing_domain)

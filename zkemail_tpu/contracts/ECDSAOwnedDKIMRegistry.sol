@@ -40,9 +40,8 @@ contract ECDSAOwnedDKIMRegistry {
             !isDKIMPublicKeyHashValid(domainName, publicKeyHash),
             "public key hash is already set"
         );
-        string memory signedMsg = computeSignedMsg(
-            SET_PREFIX, selector, domainName, publicKeyHash
-        );
+        selector; // part of the reference ABI (:52) but not of the signed message
+        string memory signedMsg = computeSignedMsg(SET_PREFIX, domainName, publicKeyHash);
         require(
             _recoverEthSigned(signedMsg, signature) == signer,
             "invalid signature"
@@ -64,9 +63,8 @@ contract ECDSAOwnedDKIMRegistry {
             isDKIMPublicKeyHashValid(domainName, publicKeyHash),
             "public key hash is not set"
         );
-        string memory signedMsg = computeSignedMsg(
-            REVOKE_PREFIX, selector, domainName, publicKeyHash
-        );
+        selector; // part of the reference ABI (:79) but not of the signed message
+        string memory signedMsg = computeSignedMsg(REVOKE_PREFIX, domainName, publicKeyHash);
         require(
             _recoverEthSigned(signedMsg, signature) == signer,
             "invalid signature"
@@ -76,17 +74,18 @@ contract ECDSAOwnedDKIMRegistry {
         );
     }
 
-    /// @notice The exact message format that must be signed
+    /// @notice The exact message format that must be signed — byte-identical
+    /// to the reference (ECDSAOwnedDKIMRegistry.sol:99-106: no selector in the
+    /// message, minimal-length lowercase 0x-hex of the key hash), so
+    /// reference-generated signatures stay valid here.
     function computeSignedMsg(
         string memory prefix,
-        string memory selector,
         string memory domainName,
         bytes32 publicKeyHash
     ) public pure returns (string memory) {
         return string.concat(
             prefix,
-            "selector=", selector,
-            ";domain=", domainName,
+            "domain=", domainName,
             ";public_key_hash=", _toHexString(publicKeyHash),
             ";"
         );
@@ -118,13 +117,18 @@ contract ECDSAOwnedDKIMRegistry {
     }
 
     function _toHexString(bytes32 value) internal pure returns (string memory) {
+        // minimal-length lowercase hex (OZ Strings.toHexString(uint256))
         bytes16 symbols = "0123456789abcdef";
-        bytes memory buf = new bytes(66);
+        uint256 v = uint256(value);
+        uint256 length = 0;
+        for (uint256 tmp = v; tmp != 0; tmp >>= 8) length++;
+        if (length == 0) length = 1;
+        bytes memory buf = new bytes(2 * length + 2);
         buf[0] = "0";
         buf[1] = "x";
-        for (uint256 i = 0; i < 32; i++) {
-            buf[2 + 2 * i] = symbols[uint8(value[i]) >> 4];
-            buf[3 + 2 * i] = symbols[uint8(value[i]) & 0x0F];
+        for (uint256 i = 2 * length + 1; i > 1; i--) {
+            buf[i] = symbols[v & 0xf];
+            v >>= 4;
         }
         return string(buf);
     }

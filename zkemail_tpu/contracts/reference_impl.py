@@ -79,45 +79,232 @@ def get_domain_from_email(email: str) -> str:
     return email.rsplit("@", 1)[1]
 
 
+# --------------------------------------------- ECDSAOwnedDKIMRegistry model
+@dataclass
+class ECDSAOwnedRegistryModel:
+    """Executable mirror of ECDSAOwnedDKIMRegistry.sol: set/revoke gated by a
+    SET:/REVOKE: message ECDSA-signed by `signer` (reference :58-61,99-106)."""
+
+    signer: str  # ethereum address (lowercase hex)
+    keys: dict = field(default_factory=dict)  # (domHash, key) -> bool
+    revoked: dict = field(default_factory=dict)
+
+    SET_PREFIX = "SET:"
+    REVOKE_PREFIX = "REVOKE:"
+
+    def compute_signed_msg(self, prefix: str, domain_name: str, key: int) -> str:
+        return f"{prefix}domain={domain_name};public_key_hash={to_hex_string(key)};"
+
+    def _recover(self, message: str, signature: bytes) -> str | None:
+        from ..utils import secp256k1 as EC
+
+        digest = eth_signed_digest(message.encode())
+        _require(len(signature) == 65, "invalid signature length")
+        r = int.from_bytes(signature[:32], "big")
+        s = int.from_bytes(signature[32:64], "big")
+        v = signature[64]
+        if v < 27:
+            v += 27
+        return EC.recover(digest, v, r, s)
+
+    def is_valid(self, domain_name: str, key: int) -> bool:
+        from ..utils.keccak import keccak_256
+
+        dom = keccak_256(domain_name.encode())
+        return bool(self.keys.get((dom, key))) and not self.revoked.get((dom, key))
+
+    def set_key(self, selector: str, domain_name: str, key: int, signature: bytes):
+        from ..utils.keccak import keccak_256
+
+        _require(len(domain_name) > 0, "invalid domain name")
+        _require(key != 0, "invalid public key hash")
+        _require(not self.is_valid(domain_name, key), "public key hash is already set")
+        msg = self.compute_signed_msg(self.SET_PREFIX, domain_name, key)
+        _require(self._recover(msg, signature) == self.signer, "invalid signature")
+        self.keys[(keccak_256(domain_name.encode()), key)] = True
+
+    def revoke_key(self, selector: str, domain_name: str, key: int, signature: bytes):
+        from ..utils.keccak import keccak_256
+
+        _require(len(domain_name) > 0, "invalid domain name")
+        _require(key != 0, "invalid public key hash")
+        _require(self.is_valid(domain_name, key), "public key hash is not set")
+        msg = self.compute_signed_msg(self.REVOKE_PREFIX, domain_name, key)
+        _require(self._recover(msg, signature) == self.signer, "invalid signature")
+        self.revoked[(keccak_256(domain_name.encode()), key)] = True
+
+
 # ----------------------------------------- UserOverrideableDKIMRegistry model
+class RevertError(AssertionError):
+    """Mirror of a Solidity require() revert (message == require string)."""
+
+
+def _require(cond, msg):
+    if not cond:
+        raise RevertError(msg)
+
+
+def eth_signed_digest(message: bytes) -> bytes:
+    """EIP-191 personal-sign digest (OZ MessageHashUtils.toEthSignedMessageHash)."""
+    from ..utils.keccak import keccak_256
+
+    return keccak_256(b"\x19Ethereum Signed Message:\n" + str(len(message)).encode() + message)
+
+
+def to_hex_string(value: int) -> str:
+    """OZ Strings.toHexString(uint256): 0x-prefixed, minimal BYTE length
+    (so 1 -> "0x01", reference test expectation `public_key_hash=0x01;`)."""
+    n = max(1, (value.bit_length() + 7) // 8)
+    return "0x" + value.to_bytes(n, "big").hex()
+
+
+def compute_signed_msg(prefix: str, domain_name: str, public_key_hash: int) -> str:
+    """UserOverrideableDKIMRegistry.computeSignedMsg (reference :380-392):
+    `<prefix>domain=<name>;public_key_hash=<0x-hex>;`."""
+    return f"{prefix}domain={domain_name};public_key_hash={to_hex_string(public_key_hash)};"
+
+
+@dataclass
+class ERC1271Wallet:
+    """ExampleERC1271 stand-in: a contract wallet owned by an EOA key."""
+
+    owner_priv: int
+
+    def is_valid_signature(self, digest: bytes, signature: bytes) -> bool:
+        from ..utils import secp256k1 as EC
+
+        if len(signature) != 65:
+            return False
+        r = int.from_bytes(signature[:32], "big")
+        s = int.from_bytes(signature[32:64], "big")
+        v = signature[64]
+        if v < 27:
+            v += 27
+        return EC.recover(digest, v, r, s) == EC.privkey_to_address(self.owner_priv)
+
+
 @dataclass
 class UserOverrideableRegistryModel:
-    """Executable model of the override/delay/reactivate validity logic."""
+    """Executable mirror of UserOverrideableDKIMRegistry.sol (this repo's
+    rewrite of reference :19-449): threshold validity, EIP-191 ECDSA /
+    EIP-1271 relayer signature flows, delay / override / reactivate.
+
+    Addresses are lowercase hex strings; `contracts` maps a contract-wallet
+    address to its ERC1271Wallet model (address.code.length > 0 analog).
+    """
 
     main_authorizer: str
     set_timestamp_delay: int
+    owner: str = "0xowner"
     now: int = 0
-    approved: dict = field(default_factory=dict)  # (dom, key, who) -> True
-    revoked: dict = field(default_factory=dict)
-    enabled_time: dict = field(default_factory=dict)  # (dom, key) -> ts
-    reactivations: dict = field(default_factory=dict)
+    approved: dict = field(default_factory=dict)  # (domHash, key, who) -> True
+    revoked: dict = field(default_factory=dict)  # (key, who) -> True
+    reactivated: dict = field(default_factory=dict)  # (key, who) -> True
+    enabled_time: dict = field(default_factory=dict)  # key -> ts
+    contracts: dict = field(default_factory=dict)  # addr -> ERC1271Wallet
 
-    def set_key(self, dom, key, who):
-        assert not self.approved.get((dom, key, who)), "already set"
-        self.approved[(dom, key, who)] = True
-        if who == self.main_authorizer:
-            self.enabled_time[(dom, key)] = self.now + self.set_timestamp_delay
+    SET_PREFIX = "SET:"
+    REVOKE_PREFIX = "REVOKE:"
+    REACTIVATE_PREFIX = "REACTIVATE:"
 
-    def revoke(self, dom, key, who):
-        assert not self.revoked.get((dom, key, who)), "already revoked"
-        self.revoked[(dom, key, who)] = True
+    # ------------------------------------------------------------ signature
+    def _check_signature(self, prefix, domain_name, key, authorizer, signature):
+        from ..utils import secp256k1 as EC
 
-    def reactivate(self, dom, key, user):
-        assert self.revoked.get((dom, key, self.main_authorizer)), "not revoked by main"
-        self.reactivations[(dom, key, user)] = True
+        msg = compute_signed_msg(prefix, domain_name, key).encode()
+        digest = eth_signed_digest(msg)
+        wallet = self.contracts.get(authorizer)
+        if wallet is not None:
+            _require(
+                wallet.is_valid_signature(digest, signature),
+                "invalid eip1271 signature",
+            )
+            return
+        _require(signature is not None and len(signature) == 65, "invalid signature length")
+        r = int.from_bytes(signature[:32], "big")
+        s = int.from_bytes(signature[32:64], "big")
+        v = signature[64]
+        if v < 27:
+            v += 27
+        _require(EC.recover(digest, v, r, s) == authorizer, "invalid ecdsa signature")
 
-    def is_valid(self, dom, key, user) -> bool:
-        et = self.enabled_time.get((dom, key))
-        main_ok = (
-            self.approved.get((dom, key, self.main_authorizer), False)
-            and et is not None
-            and self.now >= et
+    # ------------------------------------------------------------ mutations
+    def set_key(self, domain_name, key, authorizer, sender=None, signature=None):
+        from ..utils.keccak import keccak_256
+
+        sender = sender or authorizer
+        _require(len(domain_name) > 0, "domain name cannot be zero")
+        _require(key != 0, "public key hash cannot be zero")
+        dom = keccak_256(domain_name.encode())
+        _require(not self.approved.get((dom, key, authorizer)), "public key hash is already set")
+        _require(not self.revoked.get((key, authorizer)), "public key hash is already revoked")
+        if sender != authorizer:
+            self._check_signature(self.SET_PREFIX, domain_name, key, authorizer, signature)
+        self.approved[(dom, key, authorizer)] = True
+        if authorizer == self.main_authorizer:
+            self.enabled_time[key] = self.now + self.set_timestamp_delay
+
+    def revoke(self, domain_name, key, authorizer, sender=None, signature=None):
+        sender = sender or authorizer
+        _require(len(domain_name) > 0, "domain name cannot be zero")
+        _require(key != 0, "public key hash cannot be zero")
+        _require(not self.revoked.get((key, authorizer)), "public key hash is already revoked")
+        if sender != authorizer:
+            self._check_signature(self.REVOKE_PREFIX, domain_name, key, authorizer, signature)
+        self.revoked[(key, authorizer)] = True
+
+    def reactivate(self, domain_name, key, authorizer, sender=None, signature=None):
+        from ..utils.keccak import keccak_256
+
+        sender = sender or authorizer
+        _require(
+            authorizer != self.main_authorizer,
+            "mainAuthorizer cannot reactivate the public key hash",
         )
-        user_ok = self.approved.get((dom, key, user), False)
-        if self.revoked.get((dom, key, user)):
+        _require(
+            not self.reactivated.get((key, authorizer)),
+            "public key hash is already reactivated",
+        )
+        _require(self._revoke_threshold(key, authorizer) == 1, "revoke threshold must be one")
+        dom = keccak_256(domain_name.encode())
+        _require(
+            self._set_threshold(dom, key, authorizer) >= 2,
+            "set threshold must be larger than two",
+        )
+        if sender != authorizer:
+            self._check_signature(self.REACTIVATE_PREFIX, domain_name, key, authorizer, signature)
+        self.reactivated[(key, authorizer)] = True
+
+    def change_main_authorizer(self, new_main, sender):
+        _require(sender == self.owner, "not the owner")
+        _require(new_main != self.main_authorizer,
+                 "newMainAuthorizer address cannot be the same as the current mainAuthorizer")
+        self.main_authorizer = new_main
+
+    # ------------------------------------------------------------ validity
+    def _set_threshold(self, dom, key, authorizer) -> int:
+        t = 0
+        if self.approved.get((dom, key, self.main_authorizer)):
+            t += 1 if self.now < self.enabled_time.get(key, 0) else 2
+        if self.approved.get((dom, key, authorizer)):
+            t += 2
+        return t
+
+    def _revoke_threshold(self, key, authorizer) -> int:
+        t = 0
+        if self.revoked.get((key, self.main_authorizer)):
+            t += 1
+        if self.revoked.get((key, authorizer)):
+            t += 2
+        if t == 1 and self.reactivated.get((key, authorizer)):
+            t -= 1
+        return t
+
+    def is_valid(self, domain_name, key, authorizer) -> bool:
+        from ..utils.keccak import keccak_256
+
+        _require(authorizer != self.main_authorizer, "authorizer cannot be mainAuthorizer")
+        dom = keccak_256(domain_name.encode())
+        if self._revoke_threshold(key, authorizer) >= 1:
             return False
-        if self.revoked.get((dom, key, self.main_authorizer)) and not self.reactivations.get(
-            (dom, key, user)
-        ):
-            return False
-        return main_ok or user_ok
+        return self._set_threshold(dom, key, authorizer) >= 2

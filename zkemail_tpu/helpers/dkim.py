@@ -93,6 +93,7 @@ class DKIMVerificationResult:
     modulus_length: int
     applied_sanitization: str | None = None
     status: dict = field(default_factory=dict)
+    auth_results: str | None = None  # Authentication-Results row (tools.ts:416)
 
 
 class DKIMError(Exception):
@@ -200,6 +201,14 @@ def verify_dkim_signature(
         try:
             res = _try_verify(candidate, resolver, domain, skip_body_hash)
             res.applied_sanitization = name
+            from .tools import format_auth_header_row, get_alignment
+
+            res.status["aligned"] = get_alignment(domain, [res.signing_domain])
+            res.status.setdefault(
+                "header",
+                {"i": f"@{res.signing_domain}", "s": res.selector, "a": res.algo},
+            )
+            res.auth_results = format_auth_header_row("dkim", res.status)
             return res
         except DKIMError as exc:
             if last_err is None or name is None:
@@ -238,7 +247,13 @@ def _verify_one(
     parsed, sig_header_raw, tags, resolver, skip_body_hash: bool = False
 ) -> DKIMVerificationResult:
     algo = tags.get("a", "rsa-sha256")
-    if algo != "rsa-sha256":
+    from .tools import validate_algorithm
+
+    try:
+        validate_algorithm(algo)
+    except ValueError as exc:
+        raise DKIMError("EINVALIDALGO", str(exc)) from exc
+    if algo != "rsa-sha256":  # the circuit proves rsa-sha256 only
         raise DKIMError("EINVALIDALGO", f"unsupported algorithm {algo}")
     canon = tags.get("c", "simple/simple")
     parts = canon.split("/")

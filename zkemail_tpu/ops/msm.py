@@ -393,13 +393,35 @@ def _fb_fold(kind: str, n: int):
     return fold
 
 
-def fixed_base_batch(kind: str, scalars: list, on_cpu: bool = True) -> dict:
+# lanes per fold invocation: bounds the fold's HBM temps (an unchunked G2
+# fold at 2^21 lanes needs ~20 GB of (L+1)-limb scan temps on a 16 GB v5e)
+# and lets every CRS query share ONE compiled fold per group kind.
+FB_CHUNK = 1 << 18
+
+
+def _concat_pt_list(pts: list, axis: int = 0) -> dict:
+    out = {}
+    for k in pts[0]:
+        if isinstance(pts[0][k], tuple):
+            out[k] = tuple(
+                jnp.concatenate([p[k][i] for p in pts], axis=axis + 1)
+                for i in range(len(pts[0][k]))
+            )
+        else:
+            out[k] = jnp.concatenate([p[k] for p in pts], axis=axis + 1)
+    return out
+
+
+def fixed_base_batch(
+    kind: str, scalars: list, on_cpu: bool = True, chunk: int = 0
+) -> dict:
     """[s_0..s_{n-1}] -> projective points s_i * G  (G1 or G2 generator).
 
-    32 batched complete additions over n lanes (one per window).  Runs on the
-    host CPU backend by default: CRS materialization is one-time (and disk
-    cached), and the eager CPU path reuses the small cached kernels instead
-    of paying a tunneled accelerator compile.
+    32 batched complete additions over n lanes (one per window), processed in
+    FB_CHUNK-lane slices.  Runs on the host CPU backend by default: CRS
+    materialization is one-time (and disk cached), and the eager CPU path
+    reuses the small cached kernels instead of paying a tunneled accelerator
+    compile.
     """
     n = len(scalars)
     limbs = LB.ints_to_limbs(np.array([s % F.R for s in scalars], dtype=object))
@@ -410,21 +432,28 @@ def fixed_base_batch(kind: str, scalars: list, on_cpu: bool = True) -> dict:
             digits = extract_digits_unsigned(sc)
             table = _fb_table_dev_cpu(kind)
             return _fb_fold(kind, n)(digits, table)
-    # pad n to a power-of-two bucket so different query sizes share one
-    # compiled fold (zero scalars fold as identity adds; result sliced back)
+    chunk = chunk or FB_CHUNK
+    # pad each slice to a shared bucket size so every query of every size
+    # reuses one compiled fold (zero scalars fold as identity adds)
     n_pad = 1
-    while n_pad < n:
+    while n_pad < min(n, chunk):
         n_pad *= 2
-    if n_pad != n:
-        limbs = np.pad(limbs, ((0, 0), (0, n_pad - n)))
-    sc = jnp.asarray(limbs)
-    digits = extract_digits_unsigned(sc)  # (W, n_pad)
     table = _fb_table_dev(kind)
     fold = jit_on_accel(_fb_fold(kind, n_pad), key=("fb", kind, n_pad))
-    out = fold(digits, table)
-    if n_pad != n:
-        out = _index_pt(CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS, out, (slice(0, n),))
-    return out
+    ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
+    outs = []
+    for start in range(0, n, n_pad):
+        sl = limbs[:, start : start + n_pad]
+        take = sl.shape[1]
+        if take != n_pad:
+            sl = np.pad(sl, ((0, 0), (0, n_pad - take)))
+        digits = extract_digits_unsigned(jnp.asarray(sl))  # (W, n_pad)
+        out = fold(digits, table)
+        if take != n_pad:
+            out = _index_pt(ops, out, (slice(0, take),))
+        out = jax.block_until_ready(out)
+        outs.append(out)
+    return outs[0] if len(outs) == 1 else _concat_pt_list(outs)
 
 
 @functools.lru_cache(maxsize=None)

@@ -237,22 +237,201 @@ def _device_prove_batch_fn(cc, pk):
     return f
 
 
+def _shard_crs(mesh, pk):
+    """Pad + place the five CRS point queries along the mesh's "msm" axis.
+
+    Each query's point count is padded to a multiple of the msm shard count
+    with zero coordinates — matching msm's internal padding convention, these
+    lanes carry zero scalars and never touch a bucket. Cached on the pk so
+    repeated prove calls reuse the placed arrays."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    import jax
+
+    cache = getattr(pk, "_shard_cache", None)
+    key = tuple(mesh.devices.flat), tuple(mesh.axis_names)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    n_msm = mesh.shape["msm"]
+    sh = NamedSharding(mesh, PS(None, "msm"))
+    out = {}
+    for name in ("a_query", "b1_query", "b2_query", "c_query", "h_query"):
+        q = getattr(pk, name)
+        n = jax.tree_util.tree_leaves(q)[0].shape[1]
+        n_pad = -(-n // n_msm) * n_msm
+        from ..ops.msm import _map_coords
+
+        if n_pad != n:
+            q = _map_coords(q, lambda c: jnp.pad(c, ((0, 0), (0, n_pad - n))))
+        q = jax.tree_util.tree_map(lambda c: jax.device_put(c, sh), q)
+        out[name] = (q, n_pad)
+    pk._shard_cache = (key, out)
+    return out
+
+
+def _device_prove_batch_sharded_fn(cc, pk, mesh, n_pads):
+    """shard_map'd batched device phase over a (dp, msm) mesh.
+
+    dp shards the proof batch (witness/QAP/NTT/h all run on the local batch
+    slice only); msm shards the five MSM point sets. Each device runs a
+    complete Pippenger MSM over its local points, then the per-shard partial
+    sums — one projective point per proof — are all_gathered over "msm" and
+    tree-reduced with exact EC adds, so the result is replicated over msm and
+    sharded over dp. EC addition is associative on the group, hence the
+    affine proof points are bit-identical for every shard count (SURVEY §4.5).
+    """
+    import jax
+    from jax.sharding import PartitionSpec as PS
+
+    n_priv_offset = pk.n_public + 1
+    m = 1 << pk.domain_log2
+    n_msm = mesh.shape["msm"]
+
+    def _reduce_gathered(ops, part):
+        g = jax.tree_util.tree_map(
+            lambda c: jax.lax.all_gather(c, "msm", axis=0), part
+        )
+        acc = jax.tree_util.tree_map(lambda c: c[0], g)
+        for i in range(1, n_msm):
+            nxt = jax.tree_util.tree_map(lambda c: c[i], g)
+            acc = CJ.ec_add(ops, acc, nxt)
+        return acc
+
+    def _local_scalars(scal, n_pad):
+        # scal: (L, B_local, n_full); slice this shard's point range
+        n_loc = n_pad // n_msm
+        pad = n_pad - scal.shape[2]
+        if pad:
+            scal = jnp.pad(scal, ((0, 0), (0, 0), (0, pad)))
+        idx = jax.lax.axis_index("msm")
+        return jax.lax.dynamic_slice_in_dim(scal, idx * n_loc, n_loc, axis=2)
+
+    def f(witness, a_q, b1_q, b2_q, c_q, h_q, mats, plan):
+        w_mont = LB.to_mont(FS, witness)
+        h_coeffs = compute_h(mats, w_mont, pk.domain_log2, plan)
+        h_std = LB.from_mont(FS, h_coeffs)
+        w_t = jnp.moveaxis(witness, 2, 1)  # (L, B_local, n_signals)
+        h_t = jnp.moveaxis(h_std, 2, 1)
+
+        def one(ops, q, scal, n_pad):
+            part = msm_multi(ops, q, _local_scalars(scal, n_pad))
+            return _reduce_gathered(ops, part)
+
+        a_dev = one(CJ.FQ_OPS, a_q, w_t, n_pads["a_query"])
+        b2_dev = one(CJ.FQ2_OPS, b2_q, w_t, n_pads["b2_query"])
+        b1_dev = one(CJ.FQ_OPS, b1_q, w_t, n_pads["b1_query"])
+        c_dev = one(CJ.FQ_OPS, c_q, w_t[:, :, n_priv_offset:], n_pads["c_query"])
+        h_dev = one(CJ.FQ_OPS, h_q, h_t[:, :, : m - 1], n_pads["h_query"])
+        return a_dev, b2_dev, b1_dev, c_dev, h_dev
+
+    def pt_spec(q):
+        return jax.tree_util.tree_map(lambda _: PS(None, "msm"), q)
+
+    def out_pt_spec(q):
+        return jax.tree_util.tree_map(lambda _: PS(None, "dp"), q)
+
+    def const_spec(t):
+        return jax.tree_util.tree_map(lambda _: PS(), t)
+
+    queries = {
+        k: getattr(pk, k)
+        for k in ("a_query", "b1_query", "b2_query", "c_query", "h_query")
+    }
+    mats_tmpl = {k: _matrix_pack(cc, k) for k in ("A", "B", "C")}
+    from ..ops import ntt as _NTT
+
+    plan_tmpl = _NTT.domain_plan(pk.domain_log2)
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(
+            PS(None, None, "dp"),
+            pt_spec(queries["a_query"]),
+            pt_spec(queries["b1_query"]),
+            pt_spec(queries["b2_query"]),
+            pt_spec(queries["c_query"]),
+            pt_spec(queries["h_query"]),
+            const_spec(mats_tmpl),
+            const_spec(plan_tmpl),
+        ),
+        out_specs=(
+            out_pt_spec(queries["a_query"]),
+            out_pt_spec(queries["b2_query"]),
+            out_pt_spec(queries["b1_query"]),
+            out_pt_spec(queries["c_query"]),
+            out_pt_spec(queries["h_query"]),
+        ),
+        check_vma=False,
+    )
+
+
+def _prove_sharded(pk, cc, witnesses, mesh, mats, plan):
+    """Dispatch the sharded device phase: place CRS along "msm", witness
+    batch along "dp", jit the shard_map'd program (cached on the pk)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    bsz = witnesses.shape[2]
+    dp = mesh.shape["dp"]
+    if bsz % dp:
+        raise ValueError(f"batch size {bsz} must be divisible by dp={dp}")
+    sharded = _shard_crs(mesh, pk)
+    n_pads = {k: v[1] for k, v in sharded.items()}
+    witnesses = jax.device_put(
+        witnesses, NamedSharding(mesh, PS(None, None, "dp"))
+    )
+    cache = getattr(pk, "_jit_cache", None)
+    if cache is None:
+        cache = {}
+        pk._jit_cache = cache
+    key = ("prove_sharded", bsz, tuple(mesh.devices.flat), id(cc))
+    if key not in cache:
+        fn = _device_prove_batch_sharded_fn(cc, pk, mesh, n_pads)
+        # CPU (virtual-device test meshes): run the shard_map eagerly — XLA's
+        # CPU pipeline takes minutes to compile the nested field loops
+        # (utils/scan.py); TPU jits the whole sharded program.
+        cache[key] = fn if jax.default_backend() == "cpu" else jax.jit(fn)
+    return cache[key](
+        witnesses,
+        sharded["a_query"][0],
+        sharded["b1_query"][0],
+        sharded["b2_query"][0],
+        sharded["c_query"][0],
+        sharded["h_query"][0],
+        mats,
+        plan,
+    )
+
+
 def prove_batch(
-    pk: ProvingKey, cc, witnesses: jnp.ndarray, rng: random.Random | None = None
+    pk: ProvingKey,
+    cc,
+    witnesses: jnp.ndarray,
+    rng: random.Random | None = None,
+    mesh=None,
 ) -> list[tuple[Proof, list[int]]]:
     """Prove a batch of witnesses (L, n_signals, B) in one device program.
 
     Returns a list of (proof, public_inputs), one per batch element. The
     per-proof r/s blinding and final point assembly stay on the host (cheap,
-    O(1) EC ops per proof)."""
+    O(1) EC ops per proof).
+
+    With `mesh` (a (dp, msm) jax.sharding.Mesh, parallel/sharding.make_mesh),
+    the batch axis shards over "dp" and the five MSMs over "msm"; proofs are
+    bit-identical to the unsharded path for any shard count."""
     rng = rng or random.SystemRandom()
     bsz = witnesses.shape[2]
-    fn = _jit_prove_fn(cc, pk, _device_prove_batch_fn, ("prove_batch", bsz))
     mats, plan = _prove_consts(cc, pk)
-    a_dev, b2_dev, b1_dev, c_dev, h_dev = fn(
-        witnesses, pk.a_query, pk.b1_query, pk.b2_query, pk.c_query, pk.h_query,
-        mats, plan,
-    )
+    if mesh is not None:
+        a_dev, b2_dev, b1_dev, c_dev, h_dev = _prove_sharded(
+            pk, cc, witnesses, mesh, mats, plan
+        )
+    else:
+        fn = _jit_prove_fn(cc, pk, _device_prove_batch_fn, ("prove_batch", bsz))
+        a_dev, b2_dev, b1_dev, c_dev, h_dev = fn(
+            witnesses, pk.a_query, pk.b1_query, pk.b2_query, pk.c_query,
+            pk.h_query, mats, plan,
+        )
 
     out = []
     w_host = np.asarray(witnesses)
