@@ -64,3 +64,40 @@ def test_corrupt_chunk_rejected(tmp_path):
     f.write_bytes(gzip.compress(bytes(blob)))
     with pytest.raises(ValueError, match="integrity"):
         load_chunked(str(tmp_path), name="toy")
+
+
+def test_download_chunked_retries_and_cache(tmp_path):
+    """chunked-zkey.ts:24-56 parity: per-chunk retry on transient failures,
+    integrity-checked on-disk cache skipping refetches."""
+    import pathlib
+
+    from zkemail_tpu.circuits.builder import ConstraintSystem
+    from zkemail_tpu.prover.artifacts import download_chunked, export_chunked
+    from zkemail_tpu.prover.setup import groth16_setup
+
+    cs = ConstraintSystem("dl")
+    x = cs.add_input("x", ())
+    y = cs.define(cs.mul(x, x) + 1)
+    cs.mark_public(y)
+    cc = cs.compile()
+    pk = groth16_setup(cc, seed=3)
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    export_chunked(pk, str(src), name="dl", n_chunks=3)
+
+    calls = {}
+
+    def flaky(url):
+        fname = url.rsplit("/", 1)[1]
+        calls[fname] = calls.get(fname, 0) + 1
+        if calls[fname] == 1 and fname.endswith("chunkc.gz"):
+            raise IOError("transient")
+        return (pathlib.Path(src) / fname).read_bytes()
+
+    pk2 = download_chunked("http://example/zk", str(dst), name="dl", fetch=flaky)
+    assert pk2.n_public == pk.n_public and pk2.vk.ic == pk.vk.ic
+    assert calls["dl.pkchunkc.gz"] == 2  # one transient failure, one retry
+
+    calls.clear()
+    download_chunked("http://example/zk", str(dst), name="dl", fetch=flaky)
+    assert not any(k.endswith(".gz") for k in calls)  # cache hit

@@ -162,3 +162,35 @@ def test_email_verifier_decoy_bh_in_subject_rejected():
     inputs2 = prepare_inputs([bad], cfg)
     w2 = cc.eval_witness(inputs2, 1)
     assert not cc.check_satisfied_device(w2[:, :, 0])
+
+
+@pytest.mark.slow
+def test_email_verifier_reference_test_size_640_768():
+    """The reference CI configuration — EmailVerifier(640, 768, 121, 17,
+    0,0,0,0) (tests/test-circuits/email-verifier-test.circom) — builds,
+    solves, and satisfies the R1CS with the right public outputs."""
+    cfg = EmailVerifierConfig(max_headers_length=640, max_body_length=768)
+    eml = SIGNER.sign_email(
+        subject="full-size config", body=b"reference test size body\r\n"
+    )
+    args = InputGenArgs(max_headers_length=640, max_body_length=768)
+    handles, cc, w, raw = build_and_eval(cfg, eml, args)
+    assert cc.n_constraints > 1_000_000  # full-size body-checked regime
+    assert cc.check_satisfied_device(w[:, :, 0])
+    vals = LB.limbs_to_ints(np.asarray(w[:, :, 0]))
+    n, _ = SIGNER.public_key
+    assert int(val_of(cc, vals, handles.pubkey_hash)) == poseidon_large(n, 121, 9)
+
+
+@pytest.mark.slow
+def test_email_verifier_default_size_1024_1536_builds():
+    """The reference DEFAULT size (constants.ts:2-3) builds with the expected
+    constraint structure; witness/prove at this size run on the TPU bench
+    (BENCH_CONFIG=full1024)."""
+    cfg = EmailVerifierConfig(max_headers_length=1024, max_body_length=1536)
+    handles = build_email_verifier(cfg)
+    cc = handles.cs.compile()
+    # body SHA dominates (~760k at 1536, email-verifier.circom:133); with
+    # header SHA + RSA + DFA the full model lands near the reference's ~2M
+    assert 1_500_000 < cc.n_constraints < 3_000_000
+    assert cc.n_public >= 3  # pubkeyHash, shaHi, shaLo

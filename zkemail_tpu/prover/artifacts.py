@@ -180,3 +180,53 @@ def load_chunked(out_dir: str, name: str = "emailverifier",
             ic=[_g1_from(p) for p in vk["ic"]],
         ),
     )
+
+
+def download_chunked(base_url: str, cache_dir: str, name: str = "emailverifier",
+                     retries: int = 3, fetch=None, progress=None) -> "ProvingKey":
+    """Fetch manifest + chunks into cache_dir (with per-chunk retries), then
+    load_chunked.
+
+    Parity: chunked-zkey.ts downloadFromFilename/downloadProofFiles — each
+    compressed chunk is fetched with up to `retries` attempts (:24-33),
+    integrity-checked, and cached so later calls skip the network (:35-56,
+    localforage role played by the on-disk cache_dir).  `fetch(url) -> bytes`
+    is injectable for tests / custom transports; default urllib.
+    """
+    import urllib.request
+
+    def default_fetch(url: str) -> bytes:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.read()
+
+    fetch = fetch or default_fetch
+    cache = Path(cache_dir)
+    cache.mkdir(parents=True, exist_ok=True)
+
+    def fetch_with_retry(fname: str) -> bytes:
+        last = None
+        for attempt in range(retries):
+            try:
+                data = fetch(f"{base_url.rstrip('/')}/{fname}")
+                if progress:
+                    progress(f"downloaded {fname} ({len(data)} bytes)")
+                return data
+            except Exception as exc:  # noqa: BLE001 — retry any transport error
+                last = exc
+                if progress:
+                    progress(f"attempt {attempt + 1}/{retries} failed for {fname}: {exc}")
+        raise RuntimeError(f"failed to fetch {fname} after {retries} attempts") from last
+
+    man_name = f"{name}.manifest.json"
+    man_path = cache / man_name
+    if not man_path.exists():
+        man_path.write_bytes(fetch_with_retry(man_name))
+    manifest = json.loads(man_path.read_text())
+    for ch in manifest["chunks"]:
+        path = cache / ch["file"]
+        if path.exists():
+            with gzip.open(path, "rb") as f:
+                if hashlib.sha256(f.read()).hexdigest() == ch["sha256"]:
+                    continue  # cached + intact
+        path.write_bytes(fetch_with_retry(ch["file"]))
+    return load_chunked(str(cache), name)
