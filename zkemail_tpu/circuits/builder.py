@@ -19,6 +19,7 @@ core.limbs, standard (non-Montgomery) form; shape (L, n_signals, B).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import jax
@@ -225,6 +226,22 @@ class ConstraintSystem:
         self.input_bindings: list[InputBinding] = []
         self.public: list[int] = []
         self.one = SignalVec(np.zeros((), dtype=np.int64))
+        # constraint/signal spans per named scope — the `snarkjs r1cs info`
+        # role (reference records counts by hand, email-verifier.circom:66,86)
+        self.scopes: list[tuple[str, int, int, int, int]] = []
+        self._scope_stack: list[str] = []
+
+    @contextmanager
+    def scope(self, name: str):
+        """Label constraints/signals emitted inside with a nested scope path."""
+        self._scope_stack.append(name)
+        path = "/".join(self._scope_stack)
+        c0, s0 = self.n_constraints, self.n_signals
+        try:
+            yield
+        finally:
+            self.scopes.append((path, c0, self.n_constraints, s0, self.n_signals))
+            self._scope_stack.pop()
 
     # ---------------------------------------------------------------- alloc
     def alloc(self, shape=(), name: str = "") -> SignalVec:
@@ -511,6 +528,7 @@ class CompiledCircuit:
         self.C = pack(cs._mats["C"])
         self.steps = cs.steps
         self.input_bindings = cs.input_bindings
+        self.scopes = list(cs.scopes)
         self._eval_jit = None
 
     # ------------------------------------------------------------ witness

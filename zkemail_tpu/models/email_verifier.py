@@ -81,14 +81,17 @@ def build_email_verifier(cfg: EmailVerifierConfig) -> EmailVerifierHandles:
     assert_zero_padding(cs, header, header_len)
 
     # header hash (email-verifier.circom:67, ~506k constraints in reference)
-    header_digest, _sha = sha256_bytes(cs, header, header_len)
-    sha_hi, sha_lo = pack_digest_hi_lo(cs, header_digest)
+    with cs.scope("sha256_header"):
+        header_digest, _sha = sha256_bytes(cs, header, header_len)
+        sha_hi, sha_lo = pack_digest_hi_lo(cs, header_digest)
 
     # RSA-SHA256 signature check (email-verifier.circom:87-95)
-    rsa_verifier_65537(cs, signature, pubkey, header_digest, ns="rsa")
+    with cs.scope("rsa_verify"):
+        rsa_verifier_65537(cs, signature, pubkey, header_digest, ns="rsa")
 
     # pubkey commitment (email-verifier.circom:173)
-    pk_hash = poseidon_large(cs, pubkey)
+    with cs.scope("pubkey_poseidon"):
+        pk_hash = poseidon_large(cs, pubkey)
 
     # public outputs first-class: order matches reference main component
     cs.mark_public(pk_hash)
@@ -122,27 +125,30 @@ def build_email_verifier(cfg: EmailVerifierConfig) -> EmailVerifierHandles:
         # `dkim-signature:` tag list, so a decoy `bh=...;` elsewhere in the
         # signed header (e.g. in an attacker-chosen Subject) never marks
         # reveal bytes and cannot be bound to the body check.
-        dfa = compile_regex(
-            BODY_HASH_ANCHORED_PATTERN,
-            reveal_groups={BODY_HASH_REVEAL_GROUP},
-            anchored=False,
-        )
-        is_match, reveal = dfa_match_gadget(
-            cs,
-            header,
-            dfa,
-            reveal_tags=[BODY_HASH_REVEAL_GROUP],
-            initial_state=dfa_state_after(dfa, b"\r\n"),
-            bytes_checked=True,  # sha256_bytes range-checks the header bytes
-        )
-        cs.enforce_equal(is_match.lc(), LC([], 1))
-        bh_chars = select_regex_reveal(
-            cs, SignalVec(reveal.idx[0]), bh_index, 44
-        )
-        bh_decoded = base64_decode(cs, bh_chars, 32)
+        with cs.scope("body_hash_regex"):
+            dfa = compile_regex(
+                BODY_HASH_ANCHORED_PATTERN,
+                reveal_groups={BODY_HASH_REVEAL_GROUP},
+                anchored=False,
+            )
+            is_match, reveal = dfa_match_gadget(
+                cs,
+                header,
+                dfa,
+                reveal_tags=[BODY_HASH_REVEAL_GROUP],
+                initial_state=dfa_state_after(dfa, b"\r\n"),
+                bytes_checked=True,  # sha256_bytes range-checks the header bytes
+            )
+            cs.enforce_equal(is_match.lc(), LC([], 1))
+            bh_chars = select_regex_reveal(
+                cs, SignalVec(reveal.idx[0]), bh_index, 44
+            )
+        with cs.scope("base64_decode"):
+            bh_decoded = base64_decode(cs, bh_chars, 32)
 
-        assert_zero_padding(cs, body, body_len)
-        body_digest, _ = sha256_bytes_partial(cs, body, body_len, midstate)
+        with cs.scope("sha256_body"):
+            assert_zero_padding(cs, body, body_len)
+            body_digest, _ = sha256_bytes_partial(cs, body, body_len, midstate)
         handles.body_digest_bits = body_digest
 
         # byte-wise equality digest == decoded bh (email-verifier.circom:139-146)
@@ -155,7 +161,8 @@ def build_email_verifier(cfg: EmailVerifierConfig) -> EmailVerifierHandles:
 
         if cfg.remove_soft_line_breaks:
             decoded_in = cs.add_input("decodedEmailBodyIn", (cfg.max_body_length,))
-            remove_soft_line_breaks(cs, body, decoded_in)
+            with cs.scope("remove_soft_line_breaks"):
+                remove_soft_line_breaks(cs, body, decoded_in)
             cs.mark_public(decoded_in)
 
         if cfg.enable_body_masking:
