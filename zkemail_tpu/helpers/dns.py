@@ -13,8 +13,11 @@ from __future__ import annotations
 
 import base64
 import json
+import logging
 import re
 import urllib.request
+
+logger = logging.getLogger(__name__)
 
 DOH_PROVIDERS = [
     "https://dns.google/resolve?name={name}&type=TXT",
@@ -63,29 +66,62 @@ class StaticResolver:
 
 
 class DoHResolver:
-    """resolve via DNS-over-HTTPS (requires network egress)."""
+    """resolve via DNS-over-HTTPS (requires network egress).
 
-    def __init__(self, providers=None, timeout: float = 10.0):
+    Mirrors the reference's dual-provider semantics
+    (dns-over-http.ts:109-142): each provider is queried (with per-provider
+    retries), providers that both answer are cross-checked and a mismatch
+    is logged as a warning, and the returned key set is the ordered union.
+    """
+
+    def __init__(self, providers=None, timeout: float = 10.0, retries: int = 2):
         self.providers = providers or DOH_PROVIDERS
         self.timeout = timeout
+        self.retries = retries
 
-    def __call__(self, domain: str, selector: str):
-        name = f"{selector}._domainkey.{domain}"
-        keys, seen = [], set()
-        for tmpl in self.providers:
+    def _query(self, tmpl: str, name: str) -> list | None:
+        """One provider, with retries.  None = provider unreachable."""
+        last = None
+        for _ in range(max(1, self.retries)):
             try:
                 req = urllib.request.Request(
                     tmpl.format(name=name), headers={"accept": "application/dns-json"}
                 )
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                     data = json.loads(resp.read())
+                keys = []
                 for ans in data.get("Answer", []) or []:
                     parsed = parse_dkim_txt(ans.get("data", ""))
-                    if parsed and parsed not in seen:
-                        seen.add(parsed)
+                    if parsed:
                         keys.append(parsed)
-            except Exception:
-                continue
+                return keys
+            except Exception as exc:  # noqa: BLE001 — provider fallback by design
+                last = exc
+        logger.debug("DoH provider %s failed after retries: %s", tmpl, last)
+        return None
+
+    def __call__(self, domain: str, selector: str):
+        name = f"{selector}._domainkey.{domain}"
+        per_provider = [(t, self._query(t, name)) for t in self.providers]
+        answered = [(t, ks) for t, ks in per_provider if ks is not None]
+        # cross-check: two providers that both answered should agree
+        # (dns-over-http.ts cross-verification); a mismatch may indicate a
+        # poisoned or stale resolver — surface it, still return the union.
+        for i in range(len(answered)):
+            for j in range(i + 1, len(answered)):
+                if set(answered[i][1]) != set(answered[j][1]):
+                    logger.warning(
+                        "DoH cross-check mismatch for %s: %s vs %s",
+                        name,
+                        answered[i][0],
+                        answered[j][0],
+                    )
+        keys, seen = [], set()
+        for _, ks in answered:
+            for k in ks:
+                if k not in seen:
+                    seen.add(k)
+                    keys.append(k)
         return keys
 
 
