@@ -10,6 +10,7 @@ Pipeline (replacing snarkjs.groth16.fullProve, chunked-zkey.ts:76-91):
 
 from __future__ import annotations
 
+import os
 import random
 from dataclasses import dataclass
 
@@ -328,7 +329,7 @@ def _msm_stage_sharded_fn(pk, mesh, n_pads):
         b2_dev = one(CJ.FQ2_OPS, b2_q, w_t, n_pads["b2_query"])
         b1_dev = one(CJ.FQ_OPS, b1_q, w_t, n_pads["b1_query"])
         c_dev = one(CJ.FQ_OPS, c_q, w_t[:, :, n_priv_offset:], n_pads["c_query"])
-        h_dev = one(CJ.FQ_OPS, h_q, h_t[:, :, : m - 1], n_pads["h_query"])
+        h_dev = one(CJ.FQ_OPS, h_q, h_t, n_pads["h_query"])  # h_t pre-trimmed to m-1
         return a_dev, b2_dev, b1_dev, c_dev, h_dev
 
     def pt_spec(q):
@@ -374,7 +375,14 @@ def _h_stage_fn(pk):
         w_mont = LB.to_mont(FS, witness)
         h_coeffs = compute_h(mats, w_mont, pk.domain_log2, plan)
         h_std = LB.from_mont(FS, h_coeffs)
-        return jnp.moveaxis(witness, 2, 1), jnp.moveaxis(h_std, 2, 1)
+        # trim to the m-1 h_query points INSIDE the jit: an eager slice of
+        # the (L, B, m) array would allocate a second ~0.7 GB copy at the
+        # full-size EmailVerifier's HBM peak (the round-2 bench OOM site)
+        m = 1 << pk.domain_log2
+        return (
+            jnp.moveaxis(witness, 2, 1),
+            jnp.moveaxis(h_std, 2, 1)[:, :, : m - 1],
+        )
 
     return f
 
@@ -447,12 +455,28 @@ def prove_batch(
         )
     else:
         n_priv_offset = pk.n_public + 1
-        m = 1 << pk.domain_log2
-        fn = _jit_prove_fn(cc, pk, lambda _cc, _pk: _h_stage_fn(_pk), ("h_stage", bsz))
-        w_t, h_t = fn(witnesses, mats, plan)
-        # h first: h_t (L, B, m) is the largest scalar array — freeing it
+        # The h-stage's NTT/QAP transients scale with its batch axis; at the
+        # full-size EmailVerifier (m=2^21) a 4-wide stage peaks several GB
+        # over the MSM stage. Chunk the batch through a narrow compiled
+        # stage (default 1) and concatenate the (much smaller) outputs.
+        h_chunk = int(os.environ.get("ZKEMAIL_H_CHUNK", "1")) or bsz
+        h_chunk = min(h_chunk, bsz)
+        if bsz % h_chunk:
+            raise ValueError(f"batch {bsz} must be divisible by h_chunk {h_chunk}")
+        fn = _jit_prove_fn(
+            cc, pk, lambda _cc, _pk: _h_stage_fn(_pk), ("h_stage", h_chunk)
+        )
+        w_parts, h_parts = [], []
+        for s0 in range(0, bsz, h_chunk):
+            wt_i, ht_i = fn(witnesses[:, :, s0 : s0 + h_chunk], mats, plan)
+            w_parts.append(wt_i)
+            h_parts.append(ht_i)
+        w_t = w_parts[0] if len(w_parts) == 1 else jnp.concatenate(w_parts, axis=1)
+        h_t = h_parts[0] if len(h_parts) == 1 else jnp.concatenate(h_parts, axis=1)
+        del w_parts, h_parts
+        # h first: h_t (L, B, m-1) is the largest scalar array — freeing it
         # before the three n_signals-sized G1/G2 MSMs lowers the HBM peak
-        h_dev = _msm_call(pk, "g1", pk.h_query, h_t[:, :, : m - 1])
+        h_dev = _msm_call(pk, "g1", pk.h_query, h_t)
         del h_t
         a_dev = _msm_call(pk, "g1", pk.a_query, w_t)
         b2_dev = _msm_call(pk, "g2", pk.b2_query, w_t)
@@ -460,7 +484,10 @@ def prove_batch(
         c_dev = _msm_call(pk, "g1", pk.c_query, w_t[:, :, n_priv_offset:])
 
     out = []
-    w_host = np.asarray(witnesses)
+    # slice the public columns on-device BEFORE the host pull: the tunneled
+    # d2h link runs ~3 orders of magnitude slower than h2d, so pulling the
+    # full (L, n_signals, B) witness to read n_public columns costs minutes
+    w_host = np.asarray(witnesses[:, : pk.n_public + 1, :])
     for i in range(bsz):
         r = rng.randrange(P)
         s = rng.randrange(P)
