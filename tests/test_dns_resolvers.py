@@ -67,7 +67,10 @@ def test_doh_union_and_no_warning_on_agreement(monkeypatch, caplog):
     assert not [rec for rec in caplog.records if "cross-check" in rec.message]
 
 
-def test_doh_cross_check_mismatch_warns_but_returns_union(monkeypatch, caplog):
+def test_doh_cross_check_mismatch_prefers_first_provider(monkeypatch, caplog):
+    """Reference behavior (dns-over-http.ts:128-130): on mismatch, trust the
+    first answering provider; warn about the disagreement."""
+
     def handler(url, n):
         return _resp([TXT_A] if "p1" in url else [TXT_B])
 
@@ -75,7 +78,23 @@ def test_doh_cross_check_mismatch_warns_but_returns_union(monkeypatch, caplog):
     r = D.DoHResolver(providers=["https://p1/?name={name}", "https://p2/?name={name}"])
     with caplog.at_level(logging.WARNING, logger="zkemail_tpu.helpers.dns"):
         keys = r("example.com", "sel")
-    assert len(keys) == 2  # union preserves both answers
+    assert len(keys) == 1
+    assert keys == [D.parse_dkim_txt(TXT_A)]
+    assert any("cross-check mismatch" in rec.message for rec in caplog.records)
+
+
+def test_doh_cross_check_mismatch_union_opt_in(monkeypatch, caplog):
+    def handler(url, n):
+        return _resp([TXT_A] if "p1" in url else [TXT_B])
+
+    _patch(monkeypatch, handler)
+    r = D.DoHResolver(
+        providers=["https://p1/?name={name}", "https://p2/?name={name}"],
+        union_on_mismatch=True,
+    )
+    with caplog.at_level(logging.WARNING, logger="zkemail_tpu.helpers.dns"):
+        keys = r("example.com", "sel")
+    assert len(keys) == 2
     assert any("cross-check mismatch" in rec.message for rec in caplog.records)
 
 

@@ -346,10 +346,6 @@ class ConstraintSystem:
         return CompiledCircuit(self)
 
 
-def _nontrivial(lc: LC) -> bool:
-    return True
-
-
 def _coeff_limbs_mont(cf_arr) -> np.ndarray:
     vals = [F.FR.to_mont(int(c) % P) for c in cf_arr]
     return LB.ints_to_limbs(np.array(vals, dtype=object))[:, :, None]

@@ -2,11 +2,9 @@
 
 Parity targets: /root/reference/packages/circuits/utils/regex.circom —
 SelectRegexReveal:17 (zero-outside-window assertion + shift),
-PackRegexReveal:62 — plus the body-hash locator that stands in for the
-external zk-regex BodyHashRegex DFA (email-verifier.circom:124-131): it
-verifies the literal "bh=" tag context and delimiter around the claimed
-bodyHashIndex. (A full DFA-compile subsystem is tracked for a later round;
-this check pins the same header bytes the DFA reveal array would.)
+PackRegexReveal:62.  The BodyHashRegex DFA itself lives in
+circuits/regex_compiler.py + gadgets/regex_dfa.py (the zk-regex role,
+email-verifier.circom:124-131).
 """
 
 from __future__ import annotations
@@ -48,24 +46,3 @@ def pack_regex_reveal(
     """SelectRegexReveal then PackBytes (PackRegexReveal:62)."""
     revealed = select_regex_reveal(cs, reveal_array, start_index, max_reveal_len)
     return pack_bytes(cs, revealed)
-
-
-def body_hash_locator(
-    cs: ConstraintSystem,
-    header: SignalVec,  # (maxHeadersLength,)
-    body_hash_index,
-    bh_len: int = 44,
-) -> SignalVec:
-    """Extract the base64 body hash at bodyHashIndex, verifying the DKIM tag
-    context: the three bytes before the index are 'b','h','=' and the byte
-    after the 44-char value is ';' (the canonicalized DKIM-Signature header
-    always ends bh=...; since b= follows per RFC 6376).
-
-    Returns the (44,) base64 char signals.
-    """
-    window = var_shift_left(cs, header, LC.of(body_hash_index) - 3, bh_len + 4)
-    cs.enforce_equal(window[0].lc(), LC([], ord("b")))
-    cs.enforce_equal(window[1].lc(), LC([], ord("h")))
-    cs.enforce_equal(window[2].lc(), LC([], ord("=")))
-    cs.enforce_equal(window[3 + bh_len].lc(), LC([], ord(";")))
-    return window[3 : 3 + bh_len]

@@ -70,19 +70,32 @@ class DoHResolver:
 
     Mirrors the reference's dual-provider semantics
     (dns-over-http.ts:109-142): each provider is queried (with per-provider
-    retries), providers that both answer are cross-checked and a mismatch
-    is logged as a warning, and the returned key set is the ordered union.
+    retries) and providers that both answer are cross-checked.  On a
+    mismatch the reference prefers the FIRST provider's record
+    (dns-over-http.ts:128-130) — so do we, logging a warning; the ordered
+    union across agreeing providers is returned otherwise.  Set
+    ``union_on_mismatch=True`` to opt into unioning even mismatched answers
+    (more keys for the multi-key trial loop, at the cost of trusting every
+    provider individually).
     """
 
-    def __init__(self, providers=None, timeout: float = 10.0, retries: int = 2):
+    def __init__(
+        self,
+        providers=None,
+        timeout: float = 10.0,
+        retries: int = 1,
+        union_on_mismatch: bool = False,
+    ):
         self.providers = providers or DOH_PROVIDERS
         self.timeout = timeout
-        self.retries = retries
+        self.retries = retries  # extra attempts after the first
+        self.union_on_mismatch = union_on_mismatch
 
     def _query(self, tmpl: str, name: str) -> list | None:
-        """One provider, with retries.  None = provider unreachable."""
+        """One provider, with `retries` retries after the first attempt.
+        None = provider unreachable."""
         last = None
-        for _ in range(max(1, self.retries)):
+        for _ in range(1 + max(0, self.retries)):
             try:
                 req = urllib.request.Request(
                     tmpl.format(name=name), headers={"accept": "application/dns-json"}
@@ -106,16 +119,23 @@ class DoHResolver:
         answered = [(t, ks) for t, ks in per_provider if ks is not None]
         # cross-check: two providers that both answered should agree
         # (dns-over-http.ts cross-verification); a mismatch may indicate a
-        # poisoned or stale resolver — surface it, still return the union.
-        for i in range(len(answered)):
-            for j in range(i + 1, len(answered)):
-                if set(answered[i][1]) != set(answered[j][1]):
-                    logger.warning(
-                        "DoH cross-check mismatch for %s: %s vs %s",
-                        name,
-                        answered[i][0],
-                        answered[j][0],
-                    )
+        # poisoned or stale resolver.  Reference behavior on mismatch is to
+        # trust the first answering provider (dns-over-http.ts:128-130);
+        # union-on-mismatch is an explicit opt-in.
+        mismatch = any(
+            set(answered[i][1]) != set(answered[j][1])
+            for i in range(len(answered))
+            for j in range(i + 1, len(answered))
+        )
+        if mismatch:
+            logger.warning(
+                "DoH cross-check mismatch for %s across %s%s",
+                name,
+                [t for t, _ in answered],
+                "" if self.union_on_mismatch else "; using first provider only",
+            )
+            if not self.union_on_mismatch:
+                answered = answered[:1]
         keys, seen = [], set()
         for _, ks in answered:
             for k in ks:

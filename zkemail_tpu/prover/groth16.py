@@ -459,8 +459,16 @@ def prove_batch(
         # full-size EmailVerifier (m=2^21) a 4-wide stage peaks several GB
         # over the MSM stage. Chunk the batch through a narrow compiled
         # stage (default 1) and concatenate the (much smaller) outputs.
-        h_chunk = int(os.environ.get("ZKEMAIL_H_CHUNK", "1")) or bsz
-        h_chunk = min(h_chunk, bsz)
+        # ZKEMAIL_H_CHUNK: emails per compiled h-stage invocation; unset -> 1
+        # (lowest HBM peak), 0 -> the whole batch in one stage.
+        raw = os.environ.get("ZKEMAIL_H_CHUNK", "1")
+        try:
+            h_chunk = int(raw)
+        except ValueError as exc:
+            raise ValueError(
+                f"ZKEMAIL_H_CHUNK must be an integer (0 = full batch); got {raw!r}"
+            ) from exc
+        h_chunk = min(h_chunk, bsz) if h_chunk > 0 else bsz
         if bsz % h_chunk:
             raise ValueError(f"batch {bsz} must be divisible by h_chunk {h_chunk}")
         fn = _jit_prove_fn(

@@ -25,13 +25,26 @@ CONFIGS = {
 
 
 def scope_report(cc) -> list[dict]:
-    """Per-scope constraint/signal counts, nested scopes reported as paths."""
+    """Per-scope constraint/signal counts, nested scopes reported as paths.
+
+    `constraints`/`signals` are INCLUSIVE spans (everything emitted while
+    the scope was open, children included); `self_constraints` subtracts
+    the direct children's inclusive spans, so the self column sums to the
+    circuit total without double counting.
+    """
+    spans = [(path, c0, c1, s0, s1) for path, c0, c1, s0, s1 in cc.scopes]
     rows = []
-    for path, c0, c1, s0, s1 in cc.scopes:
+    for path, c0, c1, s0, s1 in spans:
+        child_c = sum(
+            cc1 - cc0
+            for p2, cc0, cc1, _, _ in spans
+            if p2.startswith(path + "/") and "/" not in p2[len(path) + 1 :]
+        )
         rows.append(
             {
                 "scope": path,
                 "constraints": c1 - c0,
+                "self_constraints": (c1 - c0) - child_c,
                 "signals": s1 - s0,
             }
         )
@@ -40,6 +53,7 @@ def scope_report(cc) -> list[dict]:
         {
             "scope": "(unlabeled)",
             "constraints": cc.n_constraints - labeled,
+            "self_constraints": cc.n_constraints - labeled,
             "signals": None,
         }
     )
@@ -75,10 +89,13 @@ def main(argv=None):
 
     print(f"config={args.config}  constraints={cc.n_constraints:,}  "
           f"signals={cc.n_signals:,}  public={cc.n_public}")
-    print(f"{'scope':<32}{'constraints':>14}{'signals':>12}")
+    print(f"{'scope':<32}{'incl':>14}{'self':>14}{'signals':>12}")
     for r in rows:
         sig = "" if r["signals"] is None else f"{r['signals']:,}"
-        print(f"{r['scope']:<32}{r['constraints']:>14,}{sig:>12}")
+        print(
+            f"{r['scope']:<32}{r['constraints']:>14,}"
+            f"{r['self_constraints']:>14,}{sig:>12}"
+        )
 
 
 if __name__ == "__main__":
