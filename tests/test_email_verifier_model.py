@@ -194,3 +194,100 @@ def test_email_verifier_default_size_1024_1536_builds():
     # header SHA + RSA + DFA the full model lands near the reference's ~2M
     assert 1_500_000 < cc.n_constraints < 3_000_000
     assert cc.n_public >= 3  # pubkeyHash, shaHi, shaLo
+
+
+def test_email_verifier_soft_line_breaks():
+    """removeSoftLineBreaks variant (email-verifier.circom:148-156 role;
+    reference spec email-verifier-with-soft-line-breaks.test.ts): a QP body
+    with '=\\r\\n' soft breaks satisfies the R1CS with the decoded body as a
+    public input, and a tampered decoded byte breaks the RLC equality."""
+    cfg = EmailVerifierConfig(
+        max_headers_length=448, max_body_length=192, remove_soft_line_breaks=True
+    )
+    body = b"This line is soft-wr=\r\napped with quoted-print=\r\nable breaks.\r\n"
+    eml = SIGNER.sign_email(subject="qp soft breaks", body=body)
+    args = InputGenArgs(
+        max_headers_length=448, max_body_length=192, remove_soft_line_breaks=True
+    )
+    handles, cc, w, raw = build_and_eval(cfg, eml, args)
+    assert cc.check_satisfied_device(w[:, :, 0])
+    # the prepared decoded input equals the host-side QP removal
+    decoded = [int(x) for x in raw["decodedEmailBodyIn"]]
+    expect = bytes(int(x) for x in raw["emailBody"]).replace(b"=\r\n", b"")
+    assert bytes(decoded[: len(expect)]) == expect
+    # negative: a single wrong decoded byte must violate the RLC equality
+    bad = dict(raw)
+    dec = [int(x) for x in bad["decodedEmailBodyIn"]]
+    dec[0] = (dec[0] + 1) % 256
+    bad["decodedEmailBodyIn"] = [str(x) for x in dec]
+    inputs2 = prepare_inputs([bad], cfg)
+    w2 = cc.eval_witness(inputs2, 1)
+    assert not cc.check_satisfied_device(w2[:, :, 0])
+
+
+def test_email_verifier_body_masking():
+    """enableBodyMasking variant (email-verifier.circom:158-166 role;
+    reference spec email-verifier-body-masking.test.ts): masked body public
+    output equals body*mask, and a non-bit mask value is rejected."""
+    cfg = EmailVerifierConfig(
+        max_headers_length=448, max_body_length=192, enable_body_masking=True
+    )
+    body = b"Reveal only the first sentence. Hide the rest of this body.\r\n"
+    eml = SIGNER.sign_email(subject="body mask", body=body)
+    mask = [1 if i < 31 else 0 for i in range(192)]
+    args = InputGenArgs(
+        max_headers_length=448,
+        max_body_length=192,
+        enable_body_masking=True,
+        body_mask=mask,
+    )
+    handles, cc, w, raw = build_and_eval(cfg, eml, args)
+    assert cc.check_satisfied_device(w[:, :, 0])
+    vals = [int(v) for v in LB.limbs_to_ints(np.asarray(w[:, :, 0]))]
+    masked = val_of(cc, vals, handles.masked_body)
+    body_in = [int(x) for x in raw["emailBody"]]
+    assert masked[:31] == body_in[:31]
+    assert all(v == 0 for v in masked[31:])
+    # negative: mask entries must be bits (ByteMask AssertBit role)
+    bad = dict(raw)
+    bm = [int(x) for x in bad["bodyMask"]]
+    bm[0] = 2
+    bad["bodyMask"] = [str(x) for x in bm]
+    inputs2 = prepare_inputs([bad], cfg)
+    w2 = cc.eval_witness(inputs2, 1)
+    assert not cc.check_satisfied_device(w2[:, :, 0])
+
+
+@pytest.mark.slow
+def test_email_verifier_qp_selector_1408():
+    """The reference QP configuration — EmailVerifier(640, 1408, 121, 17,
+    0, 0, 0, 1) with shaPrecomputeSelector (test-circuits/email-verifier-
+    qp-test.circom; email-verifier.test.ts:51 uses "How are"): the selector
+    is itself split by a soft line break, the partial-SHA midstate elides
+    the prefix, and the decoded body satisfies the RLC check."""
+    cfg = EmailVerifierConfig(
+        max_headers_length=640, max_body_length=1408, remove_soft_line_breaks=True
+    )
+    prefix = b"Hello there!\r\n" + b"Filler line for the precompute prefix.\r\n" * 4
+    # the selector "How are" lands split across a QP soft break
+    body = prefix + b"How a=\r\nre you doing today?\r\nFine thanks to partial SHA.\r\n"
+    eml = SIGNER.sign_email(subject="qp selector", body=body)
+    args = InputGenArgs(
+        max_headers_length=640,
+        max_body_length=1408,
+        remove_soft_line_breaks=True,
+        sha_precompute_selector="How are",
+    )
+    handles, cc, w, raw = build_and_eval(cfg, eml, args)
+    # the precompute actually elided a non-empty prefix
+    assert any(int(x) != 0 for x in raw["precomputedSHA"][:8])
+    assert int(raw["emailBodyLength"]) < len(body) + 65
+    assert cc.check_satisfied_device(w[:, :, 0])
+    # negative: tampering the midstate breaks the digest equality
+    bad = dict(raw)
+    ps = [int(x) for x in bad["precomputedSHA"]]
+    ps[0] ^= 1
+    bad["precomputedSHA"] = [str(x) for x in ps]
+    inputs2 = prepare_inputs([bad], cfg)
+    w2 = cc.eval_witness(inputs2, 1)
+    assert not cc.check_satisfied_device(w2[:, :, 0])

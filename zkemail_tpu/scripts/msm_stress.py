@@ -77,11 +77,15 @@ def main() -> None:
     out = jax.block_until_ready(fn(pts, scal))
     compile_s = time.time() - t0
     print(f"# first call (compile+run) {compile_s:.1f}s", file=sys.stderr, flush=True)
+    x0 = np.asarray(jax.tree_util.tree_leaves(out)[0])
+    print(f"# first transfer ok (checksum {int(x0.sum()) & 0xFFFFFFFF})",
+          file=sys.stderr, flush=True)
     times = []
-    for _ in range(args.reps):
+    for i in range(args.reps):
         t0 = time.time()
         out = jax.block_until_ready(fn(pts, scal))
         times.append(time.time() - t0)
+        print(f"# rep {i} {times[-1]:.2f}s", file=sys.stderr, flush=True)
     x0 = np.asarray(jax.tree_util.tree_leaves(out)[0])
     print(json.dumps({
         "metric": "msm_stress_s",
