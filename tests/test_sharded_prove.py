@@ -73,16 +73,21 @@ def test_msm_shard_partition_invariant(toy):
     cc, pk, w = toy
     mats, plan = _prove_consts(cc, pk)
     w_mont = LB.to_mont(FS, w)
-    h_std = LB.from_mont(FS, compute_h(mats, w_mont, pk.domain_log2, plan))
+    h_std = LB.from_mont(
+        FS,
+        compute_h(
+            mats, w_mont, pk.domain_log2, plan,
+            n_constraints=pk.n_constraints, n_public=pk.n_public,
+        ),
+    )
     w_t = jnp.moveaxis(w, 2, 1)
     h_t = jnp.moveaxis(h_std, 2, 1)
-    m = 1 << pk.domain_log2
     n_priv = pk.n_public + 1
     cases = [
         ("a_query", pk.a_query, w_t),
         ("b1_query", pk.b1_query, w_t),
         ("c_query", pk.c_query, w_t[:, :, n_priv:]),
-        ("h_query", pk.h_query, h_t[:, :, : m - 1]),
+        ("h_query", pk.h_query, h_t),
     ]
     bsz = w.shape[2]
     for name, q, scal in cases:

@@ -72,21 +72,19 @@ def _n_inv_mont(log_n: int) -> np.ndarray:
 
 
 def domain_plan(log_n: int) -> dict:
-    """All host-precomputed NTT/coset constants as ONE pytree of arrays.
+    """All host-precomputed NTT/shift constants as ONE pytree of arrays.
 
     Inside jit these must arrive as *arguments*, not closure constants: the
     twiddle tables total ~4x the polynomial size, and inlining them blows the
     HLO past what a tunneled TPU compile endpoint accepts (HTTP 413 was the
     round-1 bench failure mode). Pass plan = domain_plan(log_m) into the
-    jitted prove program and thread it to ntt()/coset_*()."""
+    jitted prove program and thread it to ntt()/shifted_ntt()."""
     return {
         "perm": _bit_reverse_perm(log_n),
         "tw_fwd": tuple(_stage_twiddles(log_n, False)),
         "tw_inv": tuple(_stage_twiddles(log_n, True)),
         "ninv": _n_inv_mont(log_n),
-        "coset_fwd": _coset_powers(log_n, False),
-        "coset_inv": _coset_powers(log_n, True),
-        "zinv": z_on_coset_inv_mont(log_n),
+        "shift": _shift_powers(log_n),
     }
 
 
@@ -165,9 +163,34 @@ def coset_intt(evals: jnp.ndarray, plan: dict | None = None) -> jnp.ndarray:
     return coset_scale(ntt(evals, inverse=True, plan=plan), inverse=True, plan=plan)
 
 
-def z_on_coset_inv_mont(log_n: int) -> np.ndarray:
-    """1 / Z(g x) where Z(x) = x^n - 1: constant on the coset (g^n - 1)^-1."""
+@functools.lru_cache(maxsize=None)
+def _shift_powers(log_n: int) -> np.ndarray:
+    """Montgomery powers of sigma = primitive 2^(log_n+1)-th root of unity.
+
+    Scaling coefficient i by sigma^i then NTT'ing evaluates the polynomial on
+    the shifted domain sigma*D = the odd-indexed 2n-th roots of unity — the
+    domain snarkjs / ark-circom's CircomReduction use for the h polynomial
+    (rust-verifier/src/verifier_utils.rs:20-23; distribute_powers +
+    fft in ark-circom's witness map)."""
     n = 1 << log_n
-    z = (pow(F.FR_MULT_GENERATOR, n, P) - 1) % P
-    zinv = pow(z, P - 2, P)
-    return LB.ints_to_limbs(np.array([F.FR.to_mont(zinv)], dtype=object))[:, 0]
+    s = F.fr_nth_root(log_n + 1)
+    pw = []
+    acc = 1
+    for _ in range(n):
+        pw.append(F.FR.to_mont(acc))
+        acc = acc * s % P
+    return LB.ints_to_limbs(np.array(pw, dtype=object))
+
+
+def shift_scale(values: jnp.ndarray, plan: dict | None = None) -> jnp.ndarray:
+    """Multiply coefficient i by sigma^i (sigma^2 = omega)."""
+    n = values.shape[1]
+    log_n = n.bit_length() - 1
+    pw = jnp.asarray(plan["shift"] if plan is not None else _shift_powers(log_n))
+    pw = pw.reshape(pw.shape + (1,) * (values.ndim - 2))
+    return LB.mont_mul(FS, values, pw)
+
+
+def shifted_ntt(coeffs: jnp.ndarray, plan: dict | None = None) -> jnp.ndarray:
+    """Evaluate a coefficient vector on sigma*D (the CircomReduction domain)."""
+    return ntt(shift_scale(coeffs, plan=plan), inverse=False, plan=plan)

@@ -100,6 +100,7 @@ def export_chunked(pk: ProvingKey, out_dir: str, name: str = "emailverifier",
         "name": name,
         "domain_log2": pk.domain_log2,
         "n_public": pk.n_public,
+        "n_constraints": pk.n_constraints,
         "schema": schema,
         "chunks": chunks,
         "host_points": {
@@ -162,6 +163,7 @@ def load_chunked(out_dir: str, name: str = "emailverifier",
     return ProvingKey(
         domain_log2=manifest["domain_log2"],
         n_public=manifest["n_public"],
+        n_constraints=manifest.get("n_constraints", 0),
         alpha_g1=_g1_from(hp["alpha_g1"]),
         beta_g1=_g1_from(hp["beta_g1"]),
         beta_g2=_g2_from(hp["beta_g2"]),

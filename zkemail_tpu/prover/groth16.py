@@ -1,8 +1,10 @@
 """Groth16 prover: witness -> proof, on the JAX/TPU compute path.
 
 Pipeline (replacing snarkjs.groth16.fullProve, chunked-zkey.ts:76-91):
-  1. sparse QAP matvecs Aw/Bw/Cw (gather + mont-mul + lazy scatter-add),
-  2. h(X) = (a*b - c)/Z via iNTT -> coset NTT -> pointwise -> coset iNTT,
+  1. sparse QAP matvecs Aw/Bw (gather + mont-mul + lazy scatter-add) with
+     the standard instance rows appended; Cw = Aw∘Bw rowwise,
+  2. h evaluations on the shifted domain sigma*D — the snarkjs /
+     CircomReduction basis (iNTT -> sigma-shift -> NTT -> a*b - c),
   3. five Pippenger MSMs over the CRS queries (ops/msm.py),
   4. host-side final assembly (r/s randomization) + oracle verification
      against core/curve pairing.
@@ -87,10 +89,23 @@ def qap_vector(cc, which: str, w_mont: jnp.ndarray, m: int) -> jnp.ndarray:
     return qap_matvec(_matrix_pack(cc, which), w_mont, m)
 
 
-def compute_h(mats, w_mont: jnp.ndarray, log_m: int, plan=None) -> jnp.ndarray:
-    """h(X) coefficients (mont form, length m; last entry is zero).
+def compute_h(
+    mats, w_mont: jnp.ndarray, log_m: int, plan=None,
+    *, n_constraints: int, n_public: int,
+) -> jnp.ndarray:
+    """h evaluations on the shifted domain sigma*D (mont form, length m).
 
-    mats: {"A"/"B"/"C": (rows, cols, coeff_limbs)} — passed as jit ARGUMENTS,
+    The snarkjs / ark-circom CircomReduction witness map
+    (rust-verifier/src/verifier_utils.rs:20-23): evaluate A·w, B·w on D with
+    the nPublic+1 instance rows appended at nC.., interpolate, re-evaluate on
+    sigma*D (iNTT + sigma-power scale + NTT), and return a*b - c there.
+    Division by the vanishing polynomial is NOT performed — Z is the
+    constant -2 on sigma*D and the CRS h_query basis absorbs it
+    (setup.groth16_setup). One NTT pass and the whole C matvec cheaper than
+    the classic coset route: C·w on D equals (A·w)∘(B·w) rowwise for a
+    satisfied witness, instance rows included (B is zero there).
+
+    mats: {"A"/"B": (rows, cols, coeff_limbs)} — passed as jit ARGUMENTS,
     never closed over: inlining ~nnz-sized constants into the HLO overflows
     the tunneled TPU compile endpoint (HTTP 413). Same for `plan`
     (NTT.domain_plan) carrying the twiddle tables.
@@ -98,19 +113,20 @@ def compute_h(mats, w_mont: jnp.ndarray, log_m: int, plan=None) -> jnp.ndarray:
     m = 1 << log_m
     aw = qap_matvec(mats["A"], w_mont, m)
     bw = qap_matvec(mats["B"], w_mont, m)
-    cw = qap_matvec(mats["C"], w_mont, m)
+    # instance rows: row nC+s carries public signal s (A side only). SET, not
+    # add — imported snarkjs zkeys whose coeff section already materializes
+    # these rows then overwrite with the identical value instead of doubling.
+    npub1 = n_public + 1
+    aw = aw.at[:, n_constraints : n_constraints + npub1].set(w_mont[:, :npub1])
+    cw = LB.mont_mul(FS, aw, bw)
     a_c = NTT.ntt(aw, inverse=True, plan=plan)
     b_c = NTT.ntt(bw, inverse=True, plan=plan)
     c_c = NTT.ntt(cw, inverse=True, plan=plan)
-    a_e = NTT.coset_ntt(a_c, plan=plan)
-    b_e = NTT.coset_ntt(b_c, plan=plan)
-    c_e = NTT.coset_ntt(c_c, plan=plan)
+    a_e = NTT.shifted_ntt(a_c, plan=plan)
+    b_e = NTT.shifted_ntt(b_c, plan=plan)
+    c_e = NTT.shifted_ntt(c_c, plan=plan)
     ab = LB.mont_mul(FS, a_e, b_e)
-    diff = LB.sub(FS, ab, c_e)
-    zinv_arr = plan["zinv"] if plan is not None else NTT.z_on_coset_inv_mont(log_m)
-    zinv = jnp.asarray(zinv_arr).reshape((L,) + (1,) * (diff.ndim - 1))
-    h_e = LB.mont_mul(FS, diff, jnp.broadcast_to(zinv, diff.shape))
-    return NTT.coset_intt(h_e, plan=plan)
+    return LB.sub(FS, ab, c_e)
 
 
 def _to_host_g1(pt) -> G1:
@@ -139,17 +155,19 @@ def _device_prove_fn(cc, pk):
     All nnz/domain-sized arrays (CRS queries, R1CS matrices, NTT plan) enter
     as function ARGUMENTS — see compute_h docstring."""
     n_priv_offset = pk.n_public + 1
-    m = 1 << pk.domain_log2
 
     def f(witness, a_q, b1_q, b2_q, c_q, h_q, mats, plan):
         w_mont = LB.to_mont(FS, witness)
-        h_coeffs = compute_h(mats, w_mont, pk.domain_log2, plan)
-        h_std = LB.from_mont(FS, h_coeffs)
+        h_evals = compute_h(
+            mats, w_mont, pk.domain_log2, plan,
+            n_constraints=pk.n_constraints, n_public=pk.n_public,
+        )
+        h_std = LB.from_mont(FS, h_evals)
         a_dev = msm(CJ.FQ_OPS, a_q, witness)
         b2_dev = msm(CJ.FQ2_OPS, b2_q, witness)
         b1_dev = msm(CJ.FQ_OPS, b1_q, witness)
         c_dev = msm(CJ.FQ_OPS, c_q, witness[:, n_priv_offset:])
-        h_dev = msm(CJ.FQ_OPS, h_q, h_std[:, : m - 1])
+        h_dev = msm(CJ.FQ_OPS, h_q, h_std)
         return a_dev, b2_dev, b1_dev, c_dev, h_dev
 
     return f
@@ -165,7 +183,8 @@ def _prove_consts(cc, pk):
     cache = getattr(pk, "_const_cache", None)
     if cache is not None and cache[0] is cc:
         return cache[1], cache[2]
-    mats = {k: _matrix_pack(cc, k) for k in ("A", "B", "C")}
+    # C is not needed: compute_h derives C·w on D as (A·w)∘(B·w)
+    mats = {k: _matrix_pack(cc, k) for k in ("A", "B")}
     plan = {
         k: (
             tuple(jnp.asarray(x) for x in v)
@@ -303,7 +322,6 @@ def _msm_stage_sharded_fn(pk, mesh, n_pads):
     from jax.sharding import PartitionSpec as PS
 
     n_priv_offset = pk.n_public + 1
-    m = 1 << pk.domain_log2
     n_msm = mesh.shape["msm"]
 
     def _reduce_gathered(ops, part):
@@ -329,7 +347,7 @@ def _msm_stage_sharded_fn(pk, mesh, n_pads):
         b2_dev = one(CJ.FQ2_OPS, b2_q, w_t, n_pads["b2_query"])
         b1_dev = one(CJ.FQ_OPS, b1_q, w_t, n_pads["b1_query"])
         c_dev = one(CJ.FQ_OPS, c_q, w_t[:, :, n_priv_offset:], n_pads["c_query"])
-        h_dev = one(CJ.FQ_OPS, h_q, h_t, n_pads["h_query"])  # h_t pre-trimmed to m-1
+        h_dev = one(CJ.FQ_OPS, h_q, h_t, n_pads["h_query"])  # h_t: (L, B, m) evals
         return a_dev, b2_dev, b1_dev, c_dev, h_dev
 
     def pt_spec(q):
@@ -373,15 +391,14 @@ def _h_stage_fn(pk):
 
     def f(witness, mats, plan):
         w_mont = LB.to_mont(FS, witness)
-        h_coeffs = compute_h(mats, w_mont, pk.domain_log2, plan)
-        h_std = LB.from_mont(FS, h_coeffs)
-        # trim to the m-1 h_query points INSIDE the jit: an eager slice of
-        # the (L, B, m) array would allocate a second ~0.7 GB copy at the
-        # full-size EmailVerifier's HBM peak (the round-2 bench OOM site)
-        m = 1 << pk.domain_log2
+        h_evals = compute_h(
+            mats, w_mont, pk.domain_log2, plan,
+            n_constraints=pk.n_constraints, n_public=pk.n_public,
+        )
+        h_std = LB.from_mont(FS, h_evals)
         return (
             jnp.moveaxis(witness, 2, 1),
-            jnp.moveaxis(h_std, 2, 1)[:, :, : m - 1],
+            jnp.moveaxis(h_std, 2, 1),
         )
 
     return f
@@ -482,7 +499,7 @@ def prove_batch(
         w_t = w_parts[0] if len(w_parts) == 1 else jnp.concatenate(w_parts, axis=1)
         h_t = h_parts[0] if len(h_parts) == 1 else jnp.concatenate(h_parts, axis=1)
         del w_parts, h_parts
-        # h first: h_t (L, B, m-1) is the largest scalar array — freeing it
+        # h first: h_t (L, B, m) is the largest scalar array — freeing it
         # before the three n_signals-sized G1/G2 MSMs lowers the HBM peak
         h_dev = _msm_call(pk, "g1", pk.h_query, h_t)
         del h_t

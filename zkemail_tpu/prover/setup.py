@@ -59,15 +59,32 @@ class ProvingKey:
     c_query: dict  # for signals n_public+1 .. n_signals-1
     h_query: dict
     vk: VerifyingKey = None
+    # constraint count of the underlying R1CS (excluding the nPublic+1
+    # virtual instance rows the QAP appends) — the prover's h stage needs it
+    # to place the instance values at rows nC..nC+nPublic (compute_h)
+    n_constraints: int = 0
+
+
+def domain_log2_for(cc) -> int:
+    """Domain size covering the R1CS rows PLUS the nPublic+1 virtual
+    instance rows (standard Groth16 / snarkjs sizing)."""
+    m = 1
+    log_m = 0
+    while m < max(cc.n_constraints + cc.n_public + 1, 2):
+        m *= 2
+        log_m += 1
+    return log_m
 
 
 def qap_evaluations(cc, tau: int):
-    """u_j(tau), v_j(tau), w_j(tau) for every signal j (host Python ints)."""
-    m = 1
-    log_m = 0
-    while m < max(cc.n_constraints, 2):
-        m *= 2
-        log_m += 1
+    """u_j(tau), v_j(tau), w_j(tau) for every signal j (host Python ints).
+
+    Includes the standard Groth16 instance rows (snarkjs zkey setup /
+    arkworks generator parity): virtual constraint row nC+s carries public
+    signal s in the A matrix only, pinning the publics' u-polynomials
+    outside the span of the real constraints."""
+    log_m = domain_log2_for(cc)
+    m = 1 << log_m
     omega = F.fr_nth_root(log_m)
     # Lagrange basis at tau: L_i(tau) = Z(tau) * omega^i / (m * (tau - omega^i))
     z_tau = (pow(tau, m, P) - 1) % P
@@ -85,6 +102,8 @@ def qap_evaluations(cc, tau: int):
     for (rows, cols, cfs), dest in ((cc.A, u), (cc.B, v), (cc.C, w)):
         for r, c, cf in zip(rows, cols, cfs):
             dest[int(c)] = (dest[int(c)] + int(cf) * lag[int(r)]) % P
+    for s in range(cc.n_public + 1):
+        u[s] = (u[s] + lag[cc.n_constraints + s]) % P
     return u, v, w, log_m, z_tau
 
 
@@ -109,7 +128,10 @@ def groth16_setup_cached(cc, seed: int = 0, cache_dir: str | None = None) -> Pro
         for cf in list(cfs[:64]) + list(cfs[-64:]):
             h.update((int(cf) % (1 << 256)).to_bytes(32, "little"))
     digest = h.hexdigest()[:12]
-    path = Path(cache_dir) / f"pk_{cc.name}_{cc.n_constraints}_{cc.n_signals}_{digest}_{seed}.pkl"
+    # v3: CircomReduction H basis + instance rows (r3) — older coefficient-
+    # basis CRS blobs are silently incompatible, so the format version is
+    # part of the cache key
+    path = Path(cache_dir) / f"pk3_{cc.name}_{cc.n_constraints}_{cc.n_signals}_{digest}_{seed}.pkl"
     if path.exists():
         with open(path, "rb") as f:
             blob = pickle.load(f)
@@ -166,12 +188,27 @@ def groth16_setup(cc, seed: int = 0, progress=None) -> ProvingKey:
     ]
     ic_scalars = [k_scalars[j] * gamma_inv % P for j in range(n_pub + 1)]
     c_scalars = [k_scalars[j] * delta_inv % P for j in range(n_pub + 1, cc.n_signals)]
-    # h query scalars: tau^i * Z(tau) / delta, i < m-1
-    h_scalars = []
-    acc = z_tau * delta_inv % P
-    for _ in range(m - 1):
-        h_scalars.append(acc)
-        acc = acc * tau % P
+    # h query scalars — the snarkjs / CircomReduction basis: H_i embeds the
+    # odd-indexed Lagrange polynomial over the DOUBLE domain at tau,
+    #   s_i = L_{2i+1}^{(2m)}(tau) / delta
+    #       = Z_{2m}(tau) * x_i / (2m * (tau - x_i) * delta),  x_i = sigma*omega^i
+    # (sigma a primitive 2m-th root). Pairing these with the prover's h
+    # evaluations on sigma*D yields [h(tau)*Z(tau)/delta]: on sigma*D the
+    # vanishing polynomial of D is Z(x_i) = sigma^m*omega^{im} - 1 = -2, a
+    # constant, which this basis absorbs. Interop target: snarkjs pointsH
+    # (zkey section 9) consumed via ark-circom's CircomReduction
+    # (rust-verifier/src/verifier_utils.rs:20-23).
+    sigma = F.fr_nth_root(log_m + 1)
+    omega = F.fr_nth_root(log_m)
+    xs = [0] * m
+    acc = sigma
+    for i in range(m):
+        xs[i] = acc
+        acc = acc * omega % P
+    z2_tau = (pow(tau, 2 * m, P) - 1) % P
+    inv_d = _batch_inv([(tau - x) % P for x in xs])
+    coef = z2_tau * pow(2 * m, P - 2, P) % P * delta_inv % P
+    h_scalars = [coef * xs[i] % P * inv_d[i] % P for i in range(m)]
 
     # CRS materialization: on an attached accelerator the jitted fold is
     # orders of magnitude faster than the eager CPU path (354k-signal
@@ -215,4 +252,5 @@ def groth16_setup(cc, seed: int = 0, progress=None) -> ProvingKey:
         c_query=c_query,
         h_query=h_query,
         vk=vk,
+        n_constraints=cc.n_constraints,
     )

@@ -24,13 +24,20 @@ Field elements are little-endian Montgomery form with R = 2^256. G1 points
 are (x, y) affine pairs, G2 points ((x0, x1), (y0, y1)); the zero point is
 all-zero coordinates.
 
-H-basis caveat: we write pointsH over the libsnark basis tau^i * Z(tau) /
-delta that this prover (and arkworks' default reduction) uses. snarkjs
-itself populates that section over its shifted-domain basis (the reason the
-reference pairs it with ark-circom's CircomReduction,
-packages/rust-verifier/src/verifier_utils.rs:20-23); proving under an
-imported snarkjs zkey therefore verifies the resulting proof against the
-zkey's own embedded vkey and raises if the H basis does not match.
+H basis: pointsH are in the snarkjs / CircomReduction shifted-domain basis
+— H_i = [L_{2i+1}^{(2m)}(tau)/delta], the odd-indexed Lagrange polynomials
+over the double domain (the basis ark-circom's CircomReduction pairs with,
+packages/rust-verifier/src/verifier_utils.rs:20-23). This framework's own
+setup and prover use the SAME basis natively (prover/setup.py,
+prover/groth16.compute_h), so zkeys round-trip in both directions with no
+basis conversion: an imported snarkjs zkey proves here, and a zkey written
+here carries the section-9 contents a snarkjs consumer expects.
+
+Coefficient section: written as the pure R1CS (no virtual instance rows);
+on read, trailing instance rows (matrix A, row nC+s, col s, value 1) are
+detected and folded into the inferred n_constraints — the prover's
+compute_h places instance values with a SET so both conventions evaluate
+identically.
 """
 
 from __future__ import annotations
@@ -170,7 +177,7 @@ def write_zkey(pk: ProvingKey, cc=None) -> bytes:
         _section(6, b"".join(_g1_bytes(p) for p in b1_pts)),
         _section(7, b"".join(_g2_bytes(p) for p in b2_pts)),
         _section(8, b"".join(_g1_bytes(p) for p in c_pts)),
-        _section(9, b"".join(_g1_bytes(p) for p in h_pts[: m - 1]) + _g1_bytes(G1.identity())),
+        _section(9, b"".join(_g1_bytes(p) for p in h_pts)),
     ]
     return b"zkey" + struct.pack("<II", 1, len(sections)) + b"".join(sections)
 
@@ -223,7 +230,7 @@ def read_zkey(data: bytes) -> tuple[ProvingKey, dict]:
     b1_pts = g1_list(sections[6], n_vars)
     b2_pts = [_g2_read(sections[7][i * 128 : (i + 1) * 128]) for i in range(n_vars)]
     c_pts = g1_list(sections[8], n_vars - n_public - 1)
-    h_pts = g1_list(sections[9], m)[: m - 1]  # prover uses m-1 scalars
+    h_pts = g1_list(sections[9], m)  # CircomReduction basis: all m points
 
     n_coeffs = struct.unpack_from("<I", sections[4], 0)[0]
     coeffs = {"A": ([], [], []), "B": ([], [], [])}
@@ -237,6 +244,23 @@ def read_zkey(data: bytes) -> tuple[ProvingKey, dict]:
         dest[1].append(col)
         dest[2].append(val)
         o += rec
+
+    # Infer the R1CS constraint count. If the coeff section materializes the
+    # virtual instance rows (matrix A, row nC+s, col s, value 1; B empty
+    # there), fold them out — the prover re-places instance values itself
+    # (compute_h SETs rows nC..nC+nPublic, idempotent for both conventions).
+    all_rows = coeffs["A"][0] + coeffs["B"][0]
+    n_constraints = (max(all_rows) + 1) if all_rows else 0
+    cand = n_constraints - (n_public + 1)
+    if cand >= 0:
+        a_set = set(zip(coeffs["A"][0], coeffs["A"][1], coeffs["A"][2]))
+        b_rows = set(coeffs["B"][0])
+        is_instance_block = all(
+            (cand + s, s, 1) in a_set and (cand + s) not in b_rows
+            for s in range(n_public + 1)
+        )
+        if is_instance_block:
+            n_constraints = cand
 
     def dev_g1(pts):
         return points_from_affine_ints(
@@ -274,6 +298,7 @@ def read_zkey(data: bytes) -> tuple[ProvingKey, dict]:
         c_query=dev_g1(c_pts),
         h_query=dev_g1(h_pts),
         vk=vk,
+        n_constraints=n_constraints,
     )
     return pk, coeffs
 
