@@ -571,6 +571,62 @@ class CompiledCircuit:
 
         return f
 
+    def eval_witness_device(
+        self, inputs: dict, batch: int, steps_per_segment: int = 0
+    ) -> jnp.ndarray:
+        """Accelerator witness evaluation: the plan compiled in SEGMENTS.
+
+        The monolithic witness program for the full EmailVerifier (1000+
+        steps) produces an HLO too large for a tunneled TPU compile endpoint
+        (HTTP 413) — but each run of ~64 consecutive steps compiles fine, and
+        chaining the segments with a DONATED witness buffer keeps the
+        (L, n_signals, B) state resident in HBM with zero copies between
+        segments. Steady-state cost is ~n_segments dispatches instead of
+        ~n_steps eager ops, so the per-email latency drops with batch width
+        (SURVEY §7(2): batched device witness generation).
+
+        Compiled segments are cached on the circuit per (batch, seg) key;
+        the XLA persistent cache covers cold starts across processes.
+        """
+        import os
+
+        import jax
+
+        steps_per_segment = steps_per_segment or int(
+            os.environ.get("ZKEMAIL_WIT_SEG_STEPS", "64")
+        )
+        cache = getattr(self, "_seg_cache", None)
+        if cache is None:
+            cache = {}
+            self._seg_cache = cache
+        key = (batch, steps_per_segment)
+        if key not in cache:
+            perm = self.perm
+            n_sig = self.n_signals
+
+            def make_seg(steps):
+                def seg(w, seg_inputs):
+                    env = Env(w, seg_inputs, perm)
+                    for step in steps:
+                        vals = step.fn(env)
+                        w = w.at[:, perm[step.out_idx], :].set(
+                            vals.reshape(L, len(step.out_idx), batch)
+                        )
+                        env.w = w
+                    return w
+
+                return jax.jit(seg, donate_argnums=0)
+
+            segs = []
+            for s0 in range(0, len(self.steps), steps_per_segment):
+                segs.append(make_seg(self.steps[s0 : s0 + steps_per_segment]))
+            cache[key] = segs
+        w = jnp.zeros((L, self.n_signals, batch), dtype=jnp.int32)
+        w = w.at[0, 0, :].set(1)  # ONE
+        for seg in cache[key]:
+            w = seg(w, inputs)
+        return w
+
     # ------------------------------------------------------------ checking
     def check_satisfied_host(self, witness_ints: np.ndarray) -> bool:
         """Python-int R1CS satisfaction check (tests; small circuits)."""

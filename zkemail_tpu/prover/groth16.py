@@ -435,7 +435,12 @@ def _prove_sharded(pk, cc, witnesses, mesh, mats, plan):
 
     mkey = ("msm_stage", bsz, tuple(mesh.devices.flat), id(cc))
     if mkey not in cache:
-        cache[mkey] = jax.jit(_msm_stage_sharded_fn(pk, mesh, n_pads))
+        fn = _msm_stage_sharded_fn(pk, mesh, n_pads)
+        # CPU (virtual-device test meshes): run the shard_map EAGERLY —
+        # jitting it sends XLA:CPU's algebraic simplifier into a circular
+        # loop on the SPMD-partitioned scan body (minutes to forever);
+        # eager shard_map still exercises the real collective path.
+        cache[mkey] = fn if on_cpu else jax.jit(fn)
     return cache[mkey](
         w_t,
         h_t,
@@ -453,6 +458,7 @@ def prove_batch(
     witnesses: jnp.ndarray,
     rng: random.Random | None = None,
     mesh=None,
+    timers: dict | None = None,
 ) -> list[tuple[Proof, list[int]]]:
     """Prove a batch of witnesses (L, n_signals, B) in one device program.
 
@@ -491,6 +497,21 @@ def prove_batch(
         fn = _jit_prove_fn(
             cc, pk, lambda _cc, _pk: _h_stage_fn(_pk), ("h_stage", h_chunk)
         )
+        import time as _time
+
+        def _mark(name, *vals):
+            # phase wall-times for the bench detail (SURVEY §5.1): block on
+            # the phase's outputs so a later crash report names the program
+            # that died and the timings are real, not dispatch latencies
+            if timers is not None:
+                import jax as _jax
+
+                _jax.block_until_ready(vals)
+                now = _time.time()
+                timers[name] = round(now - _mark.t0, 3)
+                _mark.t0 = now
+
+        _mark.t0 = _time.time()
         w_parts, h_parts = [], []
         for s0 in range(0, bsz, h_chunk):
             wt_i, ht_i = fn(witnesses[:, :, s0 : s0 + h_chunk], mats, plan)
@@ -499,14 +520,20 @@ def prove_batch(
         w_t = w_parts[0] if len(w_parts) == 1 else jnp.concatenate(w_parts, axis=1)
         h_t = h_parts[0] if len(h_parts) == 1 else jnp.concatenate(h_parts, axis=1)
         del w_parts, h_parts
+        _mark("h_stage_s", w_t, h_t)
         # h first: h_t (L, B, m) is the largest scalar array — freeing it
         # before the three n_signals-sized G1/G2 MSMs lowers the HBM peak
         h_dev = _msm_call(pk, "g1", pk.h_query, h_t)
+        _mark("msm_h_s", h_dev)
         del h_t
         a_dev = _msm_call(pk, "g1", pk.a_query, w_t)
+        _mark("msm_a_s", a_dev)
         b2_dev = _msm_call(pk, "g2", pk.b2_query, w_t)
+        _mark("msm_b2_s", b2_dev)
         b1_dev = _msm_call(pk, "g1", pk.b1_query, w_t)
+        _mark("msm_b1_s", b1_dev)
         c_dev = _msm_call(pk, "g1", pk.c_query, w_t[:, :, n_priv_offset:])
+        _mark("msm_c_s", c_dev)
 
     out = []
     # slice the public columns on-device BEFORE the host pull: the tunneled
