@@ -258,5 +258,5 @@ def test_ecdsa_owned_set_and_revoke():
 def test_ecdsa_owned_rejects_wrong_signer():
     m = ECDSAOwnedRegistryModel(signer=MAIN)
     sig = sign_msg(USER1_PRIV, "SET:")
-    with pytest.raises(RevertError, match="invalid signature"):
+    with pytest.raises(RevertError, match="Invalid signature"):
         m.set_key("sel", DOMAIN, KEY, sig)

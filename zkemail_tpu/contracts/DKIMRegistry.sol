@@ -1,18 +1,25 @@
 // SPDX-License-Identifier: MIT
 pragma solidity ^0.8.13;
 
-import {IERC7969} from "./interfaces/IERC7969.sol";
+import {IDKIMRegistry} from "./interfaces/IERC7969.sol";
 
 /// @title Ownable DKIM public-key-hash registry.
 /// Semantic parity with the reference registry
 /// (packages/contracts/DKIMRegistry.sol:15): an owner-gated store mapping
-/// keccak(domain) x pubkeyHash -> validity, consumed on-chain together with
-/// the Groth16 verifier's pubkeyHash public signal.
-contract DKIMRegistry is IERC7969 {
+/// keccak(domain) x pubkeyHash -> validity, with a GLOBAL permanent
+/// revocation set per key hash (revokedDKIMPublicKeyHashes — revoking a
+/// compromised key kills it for every domain, and a revoked key can never
+/// be re-set: "cannot set revoked pubkey"). Consumed on-chain together with
+/// the Groth16 verifier's pubkeyHash public signal. Ownable is hand-rolled
+/// (no OpenZeppelin in this repo) but the external ABI matches.
+contract DKIMRegistry is IDKIMRegistry {
     address public owner;
 
-    // domainHash => keyHash => valid
-    mapping(bytes32 => mapping(bytes32 => bool)) private dkimKeyHashes;
+    // Mapping from domain name hash to DKIM public key hash
+    mapping(bytes32 => mapping(bytes32 => bool)) public dkimPublicKeyHashes;
+
+    // DKIM public keys that are revoked (eg: in case of private key compromise)
+    mapping(bytes32 => bool) public revokedDKIMPublicKeyHashes;
 
     modifier onlyOwner() {
         require(msg.sender == owner, "DKIMRegistry: caller is not the owner");
@@ -28,7 +35,9 @@ contract DKIMRegistry is IERC7969 {
         view
         returns (bool)
     {
-        return dkimKeyHashes[domainHash][keyHash];
+        return
+            dkimPublicKeyHashes[domainHash][keyHash] &&
+            !revokedDKIMPublicKeyHashes[keyHash];
     }
 
     /// @notice Convenience overload over the plain domain string
@@ -44,7 +53,11 @@ contract DKIMRegistry is IERC7969 {
         public
         onlyOwner
     {
-        dkimKeyHashes[domainHash][keyHash] = true;
+        require(
+            !revokedDKIMPublicKeyHashes[keyHash],
+            "cannot set revoked pubkey"
+        );
+        dkimPublicKeyHashes[domainHash][keyHash] = true;
         emit KeyHashRegistered(domainHash, keyHash);
     }
 
@@ -57,13 +70,9 @@ contract DKIMRegistry is IERC7969 {
         }
     }
 
-    function revokeDKIMPublicKeyHash(bytes32 domainHash, bytes32 keyHash)
-        public
-        onlyOwner
-    {
-        require(isKeyHashValid(domainHash, keyHash), "DKIMRegistry: unknown key hash");
-        dkimKeyHashes[domainHash][keyHash] = false;
-        emit KeyHashRevoked(domainHash, keyHash);
+    function revokeDKIMPublicKeyHash(bytes32 keyHash) public onlyOwner {
+        revokedDKIMPublicKeyHashes[keyHash] = true;
+        emit KeyHashRevoked(keyHash);
     }
 
     function transferOwnership(address newOwner) public onlyOwner {

@@ -17,8 +17,17 @@ contract ECDSAOwnedDKIMRegistry {
 
     constructor(address _signer) {
         require(_signer != address(0), "invalid signer");
-        signer = _signer;
+        // this contract owns the registry; the signer gates set/revoke
         dkimRegistry = new DKIMRegistry(address(this));
+        signer = _signer;
+    }
+
+    function isKeyHashValid(bytes32 domainHash, bytes32 keyHash)
+        public
+        view
+        returns (bool)
+    {
+        return dkimRegistry.isKeyHashValid(domainHash, keyHash);
     }
 
     function isDKIMPublicKeyHashValid(
@@ -34,17 +43,21 @@ contract ECDSAOwnedDKIMRegistry {
         bytes32 publicKeyHash,
         bytes memory signature
     ) public {
-        require(bytes(domainName).length != 0, "invalid domain name");
-        require(publicKeyHash != bytes32(0), "invalid public key hash");
+        require(bytes(selector).length != 0, "Invalid selector");
+        require(bytes(domainName).length != 0, "Invalid domain name");
+        require(publicKeyHash != bytes32(0), "Invalid public key hash");
         require(
             !isDKIMPublicKeyHashValid(domainName, publicKeyHash),
-            "public key hash is already set"
+            "publicKeyHash is already set"
         );
-        selector; // part of the reference ABI (:52) but not of the signed message
+        require(
+            !dkimRegistry.revokedDKIMPublicKeyHashes(publicKeyHash),
+            "publicKeyHash is revoked"
+        );
         string memory signedMsg = computeSignedMsg(SET_PREFIX, domainName, publicKeyHash);
         require(
             _recoverEthSigned(signedMsg, signature) == signer,
-            "invalid signature"
+            "Invalid signature"
         );
         dkimRegistry.setDKIMPublicKeyHash(
             keccak256(abi.encodePacked(domainName)), publicKeyHash
@@ -57,21 +70,23 @@ contract ECDSAOwnedDKIMRegistry {
         bytes32 publicKeyHash,
         bytes memory signature
     ) public {
-        require(bytes(domainName).length != 0, "invalid domain name");
-        require(publicKeyHash != bytes32(0), "invalid public key hash");
+        require(bytes(selector).length != 0, "Invalid selector");
+        require(bytes(domainName).length != 0, "Invalid domain name");
+        require(publicKeyHash != bytes32(0), "Invalid public key hash");
         require(
             isDKIMPublicKeyHashValid(domainName, publicKeyHash),
-            "public key hash is not set"
+            "publicKeyHash is not set"
         );
-        selector; // part of the reference ABI (:79) but not of the signed message
+        require(
+            !dkimRegistry.revokedDKIMPublicKeyHashes(publicKeyHash),
+            "publicKeyHash is already revoked"
+        );
         string memory signedMsg = computeSignedMsg(REVOKE_PREFIX, domainName, publicKeyHash);
         require(
             _recoverEthSigned(signedMsg, signature) == signer,
-            "invalid signature"
+            "Invalid signature"
         );
-        dkimRegistry.revokeDKIMPublicKeyHash(
-            keccak256(abi.encodePacked(domainName)), publicKeyHash
-        );
+        dkimRegistry.revokeDKIMPublicKeyHash(publicKeyHash);
     }
 
     /// @notice The exact message format that must be signed — byte-identical

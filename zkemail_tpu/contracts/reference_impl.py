@@ -83,11 +83,15 @@ def get_domain_from_email(email: str) -> str:
 @dataclass
 class ECDSAOwnedRegistryModel:
     """Executable mirror of ECDSAOwnedDKIMRegistry.sol: set/revoke gated by a
-    SET:/REVOKE: message ECDSA-signed by `signer` (reference :58-61,99-106)."""
+    SET:/REVOKE: message ECDSA-signed by `signer` (reference :58-61,99-106).
+    Revert strings match the reference contract verbatim (differential
+    harness tests/test_contracts_differential.py); revocation is GLOBAL and
+    permanent per key hash (reference DKIMRegistry
+    revokedDKIMPublicKeyHashes)."""
 
     signer: str  # ethereum address (lowercase hex)
     keys: dict = field(default_factory=dict)  # (domHash, key) -> bool
-    revoked: dict = field(default_factory=dict)
+    revoked: dict = field(default_factory=dict)  # key -> True (global)
 
     SET_PREFIX = "SET:"
     REVOKE_PREFIX = "REVOKE:"
@@ -111,27 +115,29 @@ class ECDSAOwnedRegistryModel:
         from ..utils.keccak import keccak_256
 
         dom = keccak_256(domain_name.encode())
-        return bool(self.keys.get((dom, key))) and not self.revoked.get((dom, key))
+        return bool(self.keys.get((dom, key))) and not self.revoked.get(key)
 
     def set_key(self, selector: str, domain_name: str, key: int, signature: bytes):
         from ..utils.keccak import keccak_256
 
-        _require(len(domain_name) > 0, "invalid domain name")
-        _require(key != 0, "invalid public key hash")
-        _require(not self.is_valid(domain_name, key), "public key hash is already set")
+        _require(len(selector) > 0, "Invalid selector")
+        _require(len(domain_name) > 0, "Invalid domain name")
+        _require(key != 0, "Invalid public key hash")
+        _require(not self.is_valid(domain_name, key), "publicKeyHash is already set")
+        _require(not self.revoked.get(key), "publicKeyHash is revoked")
         msg = self.compute_signed_msg(self.SET_PREFIX, domain_name, key)
-        _require(self._recover(msg, signature) == self.signer, "invalid signature")
+        _require(self._recover(msg, signature) == self.signer, "Invalid signature")
         self.keys[(keccak_256(domain_name.encode()), key)] = True
 
     def revoke_key(self, selector: str, domain_name: str, key: int, signature: bytes):
-        from ..utils.keccak import keccak_256
-
-        _require(len(domain_name) > 0, "invalid domain name")
-        _require(key != 0, "invalid public key hash")
-        _require(self.is_valid(domain_name, key), "public key hash is not set")
+        _require(len(selector) > 0, "Invalid selector")
+        _require(len(domain_name) > 0, "Invalid domain name")
+        _require(key != 0, "Invalid public key hash")
+        _require(self.is_valid(domain_name, key), "publicKeyHash is not set")
+        _require(not self.revoked.get(key), "publicKeyHash is already revoked")
         msg = self.compute_signed_msg(self.REVOKE_PREFIX, domain_name, key)
-        _require(self._recover(msg, signature) == self.signer, "invalid signature")
-        self.revoked[(keccak_256(domain_name.encode()), key)] = True
+        _require(self._recover(msg, signature) == self.signer, "Invalid signature")
+        self.revoked[key] = True
 
 
 # ----------------------------------------- UserOverrideableDKIMRegistry model
@@ -206,6 +212,7 @@ class UserOverrideableRegistryModel:
     SET_PREFIX = "SET:"
     REVOKE_PREFIX = "REVOKE:"
     REACTIVATE_PREFIX = "REACTIVATE:"
+    ZERO = "0x" + "00" * 20
 
     # ------------------------------------------------------------ signature
     def _check_signature(self, prefix, domain_name, key, authorizer, signature):
@@ -235,6 +242,7 @@ class UserOverrideableRegistryModel:
         sender = sender or authorizer
         _require(len(domain_name) > 0, "domain name cannot be zero")
         _require(key != 0, "public key hash cannot be zero")
+        _require(authorizer not in (None, "", self.ZERO), "authorizer address cannot be zero")
         dom = keccak_256(domain_name.encode())
         _require(not self.approved.get((dom, key, authorizer)), "public key hash is already set")
         _require(not self.revoked.get((key, authorizer)), "public key hash is already revoked")
@@ -248,6 +256,7 @@ class UserOverrideableRegistryModel:
         sender = sender or authorizer
         _require(len(domain_name) > 0, "domain name cannot be zero")
         _require(key != 0, "public key hash cannot be zero")
+        _require(authorizer not in (None, "", self.ZERO), "authorizer address cannot be zero")
         _require(not self.revoked.get((key, authorizer)), "public key hash is already revoked")
         if sender != authorizer:
             self._check_signature(self.REVOKE_PREFIX, domain_name, key, authorizer, signature)
@@ -257,6 +266,7 @@ class UserOverrideableRegistryModel:
         from ..utils.keccak import keccak_256
 
         sender = sender or authorizer
+        _require(authorizer not in (None, "", self.ZERO), "authorizer address cannot be zero")
         _require(
             authorizer != self.main_authorizer,
             "mainAuthorizer cannot reactivate the public key hash",
@@ -277,6 +287,7 @@ class UserOverrideableRegistryModel:
 
     def change_main_authorizer(self, new_main, sender):
         _require(sender == self.owner, "not the owner")
+        _require(new_main not in (None, "", self.ZERO), "newMainAuthorizer address cannot be zero")
         _require(new_main != self.main_authorizer,
                  "newMainAuthorizer address cannot be the same as the current mainAuthorizer")
         self.main_authorizer = new_main
