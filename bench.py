@@ -160,7 +160,7 @@ def main():
 
     witnesses = jax.device_put(w, jax.devices()[0])
     t0 = time.time()
-    proofs = prove_batch(pk, cc, witnesses)
+    proofs = prove_batch(pk, cc, witnesses, progress=lambda m: log(f"prove: {m}"))
     detail["prove_first_s"] = round(time.time() - t0, 1)
     log(f"prove first (batch={batch}) {detail['prove_first_s']}s")
     partial(detail)

@@ -151,27 +151,18 @@ def msm_multi(ops, points, scalars: jnp.ndarray, chunk: int = 0, c_bits: int = C
     return _horner_combine(ops, total, n_windows, c_bits)
 
 
-def _window_sums(ops, points, mag, neg, t_threads: int, n_buckets: int):
-    """Bucket accumulation + thread tree-reduce + running-sum reduction.
+def _bucket_accum(ops, buckets, points, mag, neg, t_threads: int):
+    """Scan a point slice into an existing bucket table (the Pippenger hot
+    loop, isolated so callers can dispatch it in bounded slices).
 
-    mag/neg: (Weff, n) signed digits over a shared point batch (n,).
-    Returns per-window sums: a point with batch shape (Weff,).
+    buckets: point pytree batch (Weff, NB, T); points batch (n,) with n a
+    multiple of t_threads; mag/neg (Weff, n). Returns the updated table.
     """
     n_windows, n = mag.shape
-    n_pad = ((n + t_threads - 1) // t_threads) * t_threads
-    pad = n_pad - n
-    if pad:
-        mag = jnp.pad(mag, ((0, 0), (0, pad)))
-        neg = jnp.pad(neg, ((0, 0), (0, pad)))
-        points = _pad_points(ops, points, pad)
-
-    steps = n_pad // t_threads
-    # reshape to (W, steps, T) / points to (steps, T)
+    steps = n // t_threads
     mag = mag.reshape(n_windows, steps, t_threads)
     neg = neg.reshape(n_windows, steps, t_threads)
     pts_steps = _reshape_points(ops, points, (steps, t_threads))
-
-    buckets = CJ.ec_identity(ops, (n_windows, n_buckets, t_threads))
 
     def scan_body(bkts, xs):
         mg, ng, pt = xs  # mg/ng: (W, T) uint8; pt: batch (T,)
@@ -194,7 +185,12 @@ def _window_sums(ops, points, mag, neg, t_threads: int, n_buckets: int):
         buckets,
         (jnp.moveaxis(mag, 1, 0), jnp.moveaxis(neg, 1, 0), pts_scan),
     )
+    return buckets
 
+
+def _window_tail(ops, buckets, t_threads: int):
+    """Thread tree-reduce + running-sum bucket reduction: the (cheap) tail
+    turning a (Weff, NB, T) bucket table into per-window sums (Weff,)."""
     # reduce threads: pairwise tree over T axis (axis index 2 of batch)
     tt = t_threads
     while tt > 1:
@@ -218,12 +214,130 @@ def _window_sums(ops, points, mag, neg, t_threads: int, n_buckets: int):
         total = CJ.ec_add(ops, total, run)
         return (run, total), None
 
+    n_windows = jax.tree_util.tree_leaves(buckets)[0].shape[1]
     ident_w = CJ.ec_identity(ops, (n_windows,))
     rev = _reverse_pt_axis(ops, buckets, axis=1)
     (run, total), _ = maybe_scan(
         bucket_body, (ident_w, ident_w), _move_pt_axis(ops, rev, 1, 0)
     )
     return total
+
+
+def _window_sums(ops, points, mag, neg, t_threads: int, n_buckets: int):
+    """Bucket accumulation + thread tree-reduce + running-sum reduction.
+
+    mag/neg: (Weff, n) signed digits over a shared point batch (n,).
+    Returns per-window sums: a point with batch shape (Weff,).
+    """
+    n_windows, n = mag.shape
+    n_pad = ((n + t_threads - 1) // t_threads) * t_threads
+    pad = n_pad - n
+    if pad:
+        mag = jnp.pad(mag, ((0, 0), (0, pad)))
+        neg = jnp.pad(neg, ((0, 0), (0, pad)))
+        points = _pad_points(ops, points, pad)
+    buckets = CJ.ec_identity(ops, (n_windows, n_buckets, t_threads))
+    buckets = _bucket_accum(ops, buckets, points, mag, neg, t_threads)
+    return _window_tail(ops, buckets, t_threads)
+
+
+def msm_multi_chunked(
+    ops,
+    points,
+    scalars: jnp.ndarray,
+    points_per_call: int = 0,
+    c_bits: int = C_BITS,
+    chunk: int = 0,
+    progress=None,
+):
+    """msm_multi dispatched as a SEQUENCE of bounded device programs.
+
+    One monolithic bucket-accumulation scan over a CRS-sized point set runs
+    for minutes and trips the TPU worker's per-program watchdog ("TPU worker
+    crashed ... kernel fault" — the round-2 bench failure). Slicing the
+    point stream into ~128k-point dispatches bounds each program to seconds;
+    the (Weff, NB, T) bucket table is the carry, DONATED between calls so it
+    never leaves HBM and is updated in place. Identical results to
+    msm_multi (same scan order within a window).
+    """
+    import os
+
+    if scalars.ndim != 3 or scalars.shape[0] != L:
+        raise ValueError(
+            f"msm_multi_chunked expects scalars (L={L}, B, n); got {scalars.shape}"
+        )
+    _, bsz, n = scalars.shape
+    n_windows = -(-254 // c_bits)
+    n_buckets = 1 << (c_bits - 1)
+    t_threads = chunk or max(1, min(512, n // 4 or 1))
+    ppc = points_per_call or int(os.environ.get("ZKEMAIL_MSM_CHUNK", "131072"))
+    ppc = max(t_threads, (ppc // t_threads) * t_threads)
+
+    mag, neg = extract_signed_digits(scalars.reshape(L, bsz * n), c_bits, n_windows)
+    w_eff = bsz * n_windows
+    mag = mag.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
+    neg = neg.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
+    # pad so every dispatch sees the SAME slice shape (one compiled program)
+    n_pad = -(-n // ppc) * ppc
+    if n_pad != n:
+        mag = jnp.pad(mag, ((0, 0), (0, n_pad - n)))
+        neg = jnp.pad(neg, ((0, 0), (0, n_pad - n)))
+        points = _pad_points(ops, points, n_pad - n)
+
+    on_accel = jax.default_backend() != "cpu"
+    accum = (
+        _accum_jitted(ops.name, t_threads)
+        if on_accel
+        else functools.partial(_bucket_accum, ops, t_threads=t_threads)
+    )
+    buckets = CJ.ec_identity(ops, (w_eff, n_buckets, t_threads))
+    n_calls = n_pad // ppc
+    for ci in range(n_calls):
+        s0, s1 = ci * ppc, (ci + 1) * ppc
+        buckets = accum(
+            buckets,
+            _slice_pt(points, (slice(s0, s1),)),
+            mag[:, s0:s1],
+            neg[:, s0:s1],
+        )
+        if progress is not None:
+            jax.block_until_ready(jax.tree_util.tree_leaves(buckets)[0])
+            progress(f"msm chunk {ci + 1}/{n_calls}")
+
+    def tail(bkts):
+        total = _window_tail(ops, bkts, t_threads)
+        total = _map_coords(total, lambda c: c.reshape((L, bsz, n_windows)))
+        return _horner_combine(ops, total, n_windows, c_bits)
+
+    return _tail_jitted(ops.name, t_threads, bsz, n_windows, c_bits)(buckets) if on_accel else tail(buckets)
+
+
+def _ops_by_name(name: str):
+    return CJ.FQ_OPS if name == "fq" else CJ.FQ2_OPS
+
+
+@functools.lru_cache(maxsize=None)
+def _accum_jitted(ops_name: str, t_threads: int):
+    """One compiled bucket-accumulation program per (group, T) — the bucket
+    table (arg 0) is donated so chunked dispatches update it in place."""
+    ops = _ops_by_name(ops_name)
+
+    def f(buckets, pts, mag, neg):
+        return _bucket_accum(ops, buckets, pts, mag, neg, t_threads)
+
+    return jax.jit(f, donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_jitted(ops_name: str, t_threads: int, bsz: int, n_windows: int, c_bits: int):
+    ops = _ops_by_name(ops_name)
+
+    def f(bkts):
+        total = _window_tail(ops, bkts, t_threads)
+        total = _map_coords(total, lambda c: c.reshape((L, bsz, n_windows)))
+        return _horner_combine(ops, total, n_windows, c_bits)
+
+    return jax.jit(f)
 
 
 def _horner_combine(ops, total, n_windows: int, c_bits: int):

@@ -232,28 +232,24 @@ def _pt_at(pt, i: int):
     return {k: f(v) for k, v in pt.items()}
 
 
-def _msm_call(pk, kind: str, q, scal):
-    """One batched MSM as its own jitted program (TPU) / eager call (CPU).
+def _msm_call(pk, kind: str, q, scal, progress=None):
+    """One batched MSM, dispatched in bounded chunks on accelerators.
 
-    Splitting the prove device phase into an h-stage plus one program per
-    MSM (a/b1 share an executable — same point count and group) keeps the
-    peak HBM well under the chip limit: the all-in-one batched program OOMed
-    a 16 GB v5e by 0.45 GB at the 1.35M-constraint EmailVerifier, and each
-    small program also compiles faster over the tunneled TPU link."""
+    A single monolithic bucket scan over a CRS-sized point set runs past the
+    TPU worker's per-program watchdog and kills the device (the r1/r2 bench
+    "kernel fault"); ops.msm.msm_multi_chunked slices the point stream into
+    ~128k-point programs with the bucket table donated between dispatches,
+    bounding every program to seconds. Also keeps peak HBM low (the
+    all-in-one batched program OOMed a 16 GB v5e at the 1.35M-constraint
+    EmailVerifier)."""
     import jax
 
     ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
     if jax.default_backend() == "cpu":
         return msm_multi(ops, q, scal)
-    cache = getattr(pk, "_jit_cache", None)
-    if cache is None:
-        cache = {}
-        pk._jit_cache = cache
-    n = jax.tree_util.tree_leaves(q)[0].shape[1]
-    key = ("msm", kind, n, scal.shape[1])
-    if key not in cache:
-        cache[key] = jax.jit(lambda qq, ss: msm_multi(ops, qq, ss))
-    return cache[key](q, scal)
+    from ..ops.msm import msm_multi_chunked
+
+    return msm_multi_chunked(ops, q, scal, progress=progress)
 
 
 def _shard_crs(mesh, pk):
@@ -459,6 +455,7 @@ def prove_batch(
     rng: random.Random | None = None,
     mesh=None,
     timers: dict | None = None,
+    progress=None,
 ) -> list[tuple[Proof, list[int]]]:
     """Prove a batch of witnesses (L, n_signals, B) in one device program.
 
@@ -523,16 +520,16 @@ def prove_batch(
         _mark("h_stage_s", w_t, h_t)
         # h first: h_t (L, B, m) is the largest scalar array — freeing it
         # before the three n_signals-sized G1/G2 MSMs lowers the HBM peak
-        h_dev = _msm_call(pk, "g1", pk.h_query, h_t)
+        h_dev = _msm_call(pk, "g1", pk.h_query, h_t, progress)
         _mark("msm_h_s", h_dev)
         del h_t
-        a_dev = _msm_call(pk, "g1", pk.a_query, w_t)
+        a_dev = _msm_call(pk, "g1", pk.a_query, w_t, progress)
         _mark("msm_a_s", a_dev)
-        b2_dev = _msm_call(pk, "g2", pk.b2_query, w_t)
+        b2_dev = _msm_call(pk, "g2", pk.b2_query, w_t, progress)
         _mark("msm_b2_s", b2_dev)
-        b1_dev = _msm_call(pk, "g1", pk.b1_query, w_t)
+        b1_dev = _msm_call(pk, "g1", pk.b1_query, w_t, progress)
         _mark("msm_b1_s", b1_dev)
-        c_dev = _msm_call(pk, "g1", pk.c_query, w_t[:, :, n_priv_offset:])
+        c_dev = _msm_call(pk, "g1", pk.c_query, w_t[:, :, n_priv_offset:], progress)
         _mark("msm_c_s", c_dev)
 
     out = []
