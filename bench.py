@@ -65,7 +65,10 @@ def main():
     from zkemail_tpu.prover.setup import groth16_setup_cached
 
     cfg_name = os.environ.get("BENCH_CONFIG", "full640")
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    # batch 2 keeps the full bench inside a ~1h wall budget at current MSM
+    # throughput (prove work scales ~linearly in batch; proofs/sec is batch-
+    # invariant to first order). BENCH_BATCH overrides.
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
     cfg = EmailVerifierConfig(**CONFIGS[cfg_name])
     detail = {"config": cfg_name, "batch": batch, "backend": jax.default_backend()}
 

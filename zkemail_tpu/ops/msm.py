@@ -269,7 +269,10 @@ def msm_multi_chunked(
     _, bsz, n = scalars.shape
     n_windows = -(-254 // c_bits)
     n_buckets = 1 << (c_bits - 1)
-    t_threads = chunk or max(1, min(512, n // 4 or 1))
+    # bound the bucket table to ~8.4M point-lanes (~2.2 GB of limb arrays
+    # for G1) so wide proof batches scale T down instead of OOMing HBM
+    t_budget = max(32, (1 << 23) // (bsz * n_windows * n_buckets))
+    t_threads = chunk or max(1, min(512, t_budget, n // 4 or 1))
     ppc = points_per_call or int(os.environ.get("ZKEMAIL_MSM_CHUNK", "131072"))
     ppc = max(t_threads, (ppc // t_threads) * t_threads)
 

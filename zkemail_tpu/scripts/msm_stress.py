@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--threads", type=int, default=0, help="override T (0=auto)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--chunked", action="store_true",
+                    help="use msm_multi_chunked (bounded dispatches)")
+    ap.add_argument("--cbits", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -72,7 +75,17 @@ def main() -> None:
     # top limb must keep the value < 2^254-ish so digit extraction is sane
     scal = scal.at[L - 1].set(scal[L - 1] & 0x3)
 
-    fn = jax.jit(lambda q, s: msm_multi(ops, q, s, chunk=args.threads))
+    if args.chunked:
+        import sys as _sys
+        from zkemail_tpu.ops.msm import msm_multi_chunked
+
+        def fn(q, s):
+            return msm_multi_chunked(
+                ops, q, s, chunk=args.threads, c_bits=args.cbits,
+                progress=lambda m: print(f"# {m}", file=_sys.stderr, flush=True),
+            )
+    else:
+        fn = jax.jit(lambda q, s: msm_multi(ops, q, s, chunk=args.threads, c_bits=args.cbits))
     t0 = time.time()
     out = jax.block_until_ready(fn(pts, scal))
     compile_s = time.time() - t0
