@@ -127,3 +127,24 @@ def test_sharded_batch_divisibility_error(toy):
     mesh = make_mesh(8, dp=8)
     with pytest.raises(ValueError, match="divisible"):
         prove_batch(pk, cc, w[:, :, :3], rng=random.Random(1), mesh=mesh)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ZKEMAIL_SLOW_MESH_TESTS"),
+    reason="XLA:CPU compiles the shard_map'd MSM body in O(10 min); "
+    "set ZKEMAIL_SLOW_MESH_TESTS=1 to run the composed mesh prove "
+    "(the TPU bench exercises the compiled path at full size)",
+)
+def test_mesh_prove_bit_identical_and_verifies(toy):
+    """The COMPOSED sharded path — prove_batch(mesh=...) through
+    _prove_sharded -> host assembly -> verify — produces bit-identical
+    proofs to the unsharded prover under fixed blinding, and they verify."""
+    cc, pk, w = toy
+    base = prove_batch(pk, cc, w, rng=random.Random(42))
+    mesh = make_mesh(8, dp=2)
+    shard = prove_batch(pk, cc, w, rng=random.Random(42), mesh=mesh)
+    for (a, pa), (b, pb) in zip(base, shard):
+        assert (a.a, a.b, a.c, pa) == (b.a, b.b, b.c, pb)
+    for proof, publics in shard:
+        assert verify(pk.vk, proof, publics)
