@@ -309,4 +309,6 @@ def sharded_h_eval(mesh: Mesh, values: jnp.ndarray, log_m: int):
         check_vma=False,
     )
     values = jax.device_put(values, NamedSharding(mesh, P(None, "msm", None)))
-    return fn(values, tables, plan_local)
+    # jit OVER the shard_map: eager shard_map re-traces per call and XLA:CPU
+    # compiles the un-jitted form far slower than the jitted one
+    return jax.jit(fn)(values, tables, plan_local)

@@ -400,6 +400,87 @@ def _h_stage_fn(pk):
     return f
 
 
+def _h_stage_mesh_fn(pk, mesh):
+    """The h stage with the NTT pipeline sharded over "msm" (SURVEY §5.8(b)).
+
+    QAP matvecs batch over B (dp-sharded by GSPMD); each polynomial then
+    runs the four-step iNTT -> sigma-shift -> NTT of
+    parallel/sharding (cross-shard DFT all_gathers over ICI), so a single
+    proof's NTT work spreads across the whole mesh instead of replicating
+    per dp shard. Output distribution (block over "msm") matches the
+    h_query partition of _shard_crs."""
+    import jax
+    from jax.sharding import PartitionSpec as PS
+
+    from ..parallel.sharding import (
+        intt_block_to_cyclic,
+        ntt_cyclic_to_block,
+        shift_scale_cyclic,
+    )
+
+    S = mesh.shape["msm"]
+    log_m = pk.domain_log2
+    m = 1 << log_m
+    npub1 = pk.n_public + 1
+    nC = pk.n_constraints
+
+    def f(witness, mats, plan_local, tabs):
+        w_mont = LB.to_mont(FS, witness)
+        aw = qap_matvec(mats["A"], w_mont, m)
+        bw = qap_matvec(mats["B"], w_mont, m)
+        aw = aw.at[:, nC : nC + npub1].set(w_mont[:, :npub1])
+        cw = LB.mont_mul(FS, aw, bw)
+
+        def pipeline(x_loc, tabs_own, plan2):
+            own = {k: v[0] for k, v in tabs_own.items()}
+            c = intt_block_to_cyclic(x_loc, own, plan2)
+            c = shift_scale_cyclic(c, own)
+            return ntt_cyclic_to_block(c, own, plan2)
+
+        tab_specs = {k: PS("msm", None, None) for k in tabs}
+        plan_spec = jax.tree_util.tree_map(lambda _: PS(), plan_local)
+        sm = jax.shard_map(
+            pipeline,
+            mesh=mesh,
+            in_specs=(PS(None, "msm", "dp"), tab_specs, plan_spec),
+            out_specs=PS(None, "msm", "dp"),
+            check_vma=False,
+        )
+        a_e = sm(aw, tabs, plan_local)
+        b_e = sm(bw, tabs, plan_local)
+        c_e = sm(cw, tabs, plan_local)
+        h_evals = LB.sub(FS, LB.mont_mul(FS, a_e, b_e), c_e)
+        h_std = LB.from_mont(FS, h_evals)
+        return jnp.moveaxis(witness, 2, 1), jnp.moveaxis(h_std, 2, 1)
+
+    return f
+
+
+def _mesh_ntt_consts(pk, mesh):
+    """Device-resident (plan_local, tables) for the msm-sharded h stage."""
+    from ..parallel.sharding import shard_ntt_tables
+
+    cache = getattr(pk, "_mesh_ntt_cache", None)
+    key = (tuple(mesh.devices.flat), tuple(mesh.axis_names))
+    if cache is not None and cache[0] == key:
+        return cache[1], cache[2]
+    S = mesh.shape["msm"]
+    log_m2 = pk.domain_log2 - (S.bit_length() - 1)
+    plan_local = {
+        k: (
+            tuple(jnp.asarray(x) for x in v)
+            if isinstance(v, tuple)
+            else jnp.asarray(v)
+        )
+        for k, v in NTT.domain_plan(log_m2).items()
+    }
+    tables = {
+        k: jnp.asarray(v) for k, v in shard_ntt_tables(pk.domain_log2, S).items()
+    }
+    pk._mesh_ntt_cache = (key, plan_local, tables)
+    return plan_local, tables
+
+
 def _prove_sharded(pk, cc, witnesses, mesh, mats, plan):
     """Dispatch the sharded device phase: place CRS along "msm", witness
     batch along "dp", run the h stage then the shard_map'd MSM stage."""
@@ -421,13 +502,20 @@ def _prove_sharded(pk, cc, witnesses, mesh, mats, plan):
         pk._jit_cache = cache
     on_cpu = jax.default_backend() == "cpu"
 
-    hkey = ("h_stage", bsz, tuple(mesh.devices.flat), id(cc))
+    # ZKEMAIL_SHARD_NTT=0 falls back to the dp-replicated h stage
+    shard_ntt = os.environ.get("ZKEMAIL_SHARD_NTT", "1") != "0" and mesh.shape["msm"] > 1
+    hkey = ("h_stage_mesh" if shard_ntt else "h_stage", bsz,
+            tuple(mesh.devices.flat), id(cc))
     if hkey not in cache:
-        fn = _h_stage_fn(pk)
+        fn = _h_stage_mesh_fn(pk, mesh) if shard_ntt else _h_stage_fn(pk)
         # CPU (virtual-device test meshes) runs eagerly — XLA:CPU takes
         # minutes to compile the nested field loops (utils/scan.py)
         cache[hkey] = fn if on_cpu else jax.jit(fn)
-    w_t, h_t = cache[hkey](witnesses, mats, plan)
+    if shard_ntt:
+        plan_local, tables = _mesh_ntt_consts(pk, mesh)
+        w_t, h_t = cache[hkey](witnesses, mats, plan_local, tables)
+    else:
+        w_t, h_t = cache[hkey](witnesses, mats, plan)
 
     mkey = ("msm_stage", bsz, tuple(mesh.devices.flat), id(cc))
     if mkey not in cache:
