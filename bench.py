@@ -163,8 +163,24 @@ def main():
 
     detail["witness_path"] = "host" if use_host_wit else "device_segmented"
     t0 = time.time()
-    w = wit_fn(inputs)
-    w.block_until_ready()
+    try:
+        w = wit_fn(inputs)
+        w.block_until_ready()
+    except Exception as exc:  # degrade to host witness rather than dying
+        if use_host_wit:
+            raise
+        log(f"device witness failed ({type(exc).__name__}: {exc}); host fallback")
+        detail["witness_path"] = f"host_fallback:{type(exc).__name__}"
+        cpu = jax.devices("cpu")[0]
+
+        def wit_fn(inp):  # noqa: F811
+            inp = jax.device_put(inp, cpu)
+            with jax.default_device(cpu):
+                return cc.eval_witness(inp, batch)
+
+        t0 = time.time()
+        w = wit_fn(inputs)
+        w.block_until_ready()
     detail["witness_first_s"] = round(time.time() - t0, 1)
     log(f"witness first (batch={batch}) {detail['witness_first_s']}s")
     t0 = time.time()
