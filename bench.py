@@ -142,12 +142,14 @@ def main():
             setattr(pk, qname, jax.tree_util.tree_map(lambda c: jax.device_put(c, dev), q))
         log("queries on device")
 
-    # witness generation on the accelerator: the plan compiled in segments
-    # (builder.eval_witness_device — the monolithic HLO exceeds the tunnel
-    # compile limit, ~64-step segments don't). ZKEMAIL_WITNESS=host falls
-    # back to the eager host path.
+    # witness generation: host-eager by default. The segmented accelerator
+    # path (builder.eval_witness_device, ZKEMAIL_WITNESS=device) is correct
+    # and avoids the monolithic-HLO tunnel limit, but its ~19 segment
+    # programs compile at ~7 min EACH through the chipless AOT helper on
+    # this 2-vCPU host (~2 h cold) — viable only once the XLA persistent
+    # cache has them. Host witness at batch 2 costs ~1.2 s/email.
     use_host_wit = (
-        os.environ.get("ZKEMAIL_WITNESS") == "host"
+        os.environ.get("ZKEMAIL_WITNESS", "host") != "device"
         or jax.default_backend() == "cpu"
     )
     if use_host_wit:
