@@ -269,9 +269,13 @@ def msm_multi_chunked(
     _, bsz, n = scalars.shape
     n_windows = -(-254 // c_bits)
     n_buckets = 1 << (c_bits - 1)
-    # bound the bucket table to ~8.4M point-lanes (~2.2 GB of limb arrays
-    # for G1) so wide proof batches scale T down instead of OOMing HBM
-    t_budget = max(32, (1 << 23) // (bsz * n_windows * n_buckets))
+    # bound the bucket table to ~1.2 GB so the scan (whose XLA schedule can
+    # hold ~2 copies of the carry) plus the resident CRS queries stays under
+    # the 16 GB HBM: G2 lanes cost 2x the bytes of G1 (Fq2 coordinate
+    # pairs), so b2 runs with half the threads of the G1 queries
+    bytes_per_lane = 264 * (2 if ops.name == "fq2" else 1)
+    t_budget = max(32, int(1.2e9) // (bsz * n_windows * n_buckets * bytes_per_lane))
+    t_budget = 1 << (t_budget.bit_length() - 1)  # floor to a power of two
     t_threads = chunk or max(1, min(512, t_budget, n // 4 or 1))
     ppc = points_per_call or int(os.environ.get("ZKEMAIL_MSM_CHUNK", "131072"))
     ppc = max(t_threads, (ppc // t_threads) * t_threads)
