@@ -211,3 +211,30 @@ def test_reference_fixture_parses():
     body_canon = canon_body(parsed.body, tags.get("c", "simple/simple").split("/")[-1], None)
     bh = base64.b64encode(hashlib.sha256(body_canon).digest()).decode()
     assert bh == tags["bh"], "reference fixture body hash must reproduce"
+
+
+def test_legacy_ecdsa_build_input():
+    """buildInput parity (chunked-zkey.ts:107-147): uncompressed pubkey /
+    sig hex split into 4x64-bit little-endian limb arrays."""
+    from zkemail_tpu.helpers.binary_format import build_ecdsa_input
+
+    x = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+    y = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+    r_v = 0x00A1B2C3D4E5F60718293A4B5C6D7E8F90A1B2C3D4E5F60718293A4B5C6D7E8F
+    s_v = 0x0123456789ABCDEF0123456789ABCDEF0123456789ABCDEF0123456789ABCDEF
+    pk_hex = "0x04" + format(x, "064x") + format(y, "064x")
+    sig_hex = "0x" + format(r_v, "064x") + format(s_v, "064x") + "1b"
+    h = 0xDEADBEEF
+
+    inp = build_ecdsa_input(pk_hex, hex(h), sig_hex)
+    mask = (1 << 64) - 1
+
+    def recompose(arr):
+        return sum(int(v) << (64 * i) for i, v in enumerate(arr))
+
+    assert recompose(inp["pubkey"][0]) == x
+    assert recompose(inp["pubkey"][1]) == y
+    assert recompose(inp["r"]) == r_v
+    assert recompose(inp["s"]) == s_v
+    assert recompose(inp["msghash"]) == h
+    assert int(inp["r"][0]) == r_v & mask  # little-endian limb order

@@ -57,3 +57,41 @@ def packed_to_string(fields: list[int]) -> str:
 
 def bytes_to_int_be(b: bytes) -> int:
     return int.from_bytes(b, "big")
+
+
+# --------------------------------------------------------------------------
+# Legacy ECDSA circuit input glue (chunked-zkey.ts:107-147)
+# --------------------------------------------------------------------------
+
+def pubkey_to_xy_arrays(pk_hex: str) -> list[list[str]]:
+    """Uncompressed secp256k1 pubkey hex ("0x04" + X + Y) -> [XArr, YArr] of
+    4x64-bit decimal-string limbs (chunked-zkey.ts pubkeyToXYArrays:123)."""
+    x = int(pk_hex[4 : 4 + 64], 16)
+    y = int(pk_hex[68 : 68 + 64], 16)
+    return [
+        [str(v) for v in big_int_to_chunks(x, 64, 4)],
+        [str(v) for v in big_int_to_chunks(y, 64, 4)],
+    ]
+
+
+def sig_to_rs_arrays(sig_hex: str) -> list[list[str]]:
+    """0x-prefixed 65-byte signature hex -> [rArr, sArr] of 4x64-bit limbs
+    (chunked-zkey.ts sigToRSArrays:131)."""
+    r = int(sig_hex[2 : 2 + 64], 16)
+    s = int(sig_hex[66 : 66 + 64], 16)
+    return [
+        [str(v) for v in big_int_to_chunks(r, 64, 4)],
+        [str(v) for v in big_int_to_chunks(s, 64, 4)],
+    ]
+
+
+def build_ecdsa_input(pubkey_hex: str, msghash: str, sig_hex: str) -> dict:
+    """Witness inputs for the legacy ECDSA ownership circuits
+    (chunked-zkey.ts buildInput:138): r/s/msghash/pubkey as 4x64-bit limbs."""
+    r, s = sig_to_rs_arrays(sig_hex)
+    return {
+        "r": r,
+        "s": s,
+        "msghash": big_int_to_chunks(int(msghash, 0), 64, 4),
+        "pubkey": pubkey_to_xy_arrays(pubkey_hex),
+    }
