@@ -40,38 +40,6 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None):
     return Mesh(mesh_devs, ("dp", "msm"))
 
 
-def sharded_msm(mesh: Mesh, ops, points, scalars, c_bits: int = 8, chunk: int = 2):
-    """MSM with points sharded over the "msm" axis.
-
-    Each shard runs private bucket accumulation on its point slice, partial
-    results are all_gathered and tree-reduced locally (identical on every
-    shard).  Returns a replicated projective point.
-    """
-    n_shards = mesh.shape["msm"]
-
-    def local_part(pts, sc):
-        part = MSM.msm(ops, pts, sc, chunk=chunk, c_bits=c_bits)
-        # stack coords, all_gather over the msm axis, reduce
-        gathered = jax.tree_util.tree_map(
-            lambda c: jax.lax.all_gather(c, "msm", axis=0), part
-        )
-        acc = jax.tree_util.tree_map(lambda c: c[0], gathered)
-        for i in range(1, n_shards):
-            nxt = jax.tree_util.tree_map(lambda c: c[i], gathered)
-            acc = CJ.ec_add(ops, acc, nxt)
-        return acc
-
-    pt_spec = jax.tree_util.tree_map(lambda _: P(None, "msm"), points)
-    fn = jax.shard_map(
-        local_part,
-        mesh=mesh,
-        in_specs=(pt_spec, P(None, "msm")),
-        out_specs=jax.tree_util.tree_map(lambda _: P(), points),
-        check_vma=False,
-    )
-    return fn(points, scalars)
-
-
 def sharded_bucket_accumulate(
     mesh: Mesh, ops, points, scalars, c_bits: int = 4, chunk: int = 2
 ):
