@@ -141,26 +141,25 @@ def _coset_powers(log_n: int, inverse: bool):
     return LB.ints_to_limbs(np.array(pw, dtype=object))
 
 
-def coset_scale(
-    values: jnp.ndarray, inverse: bool = False, plan: dict | None = None
-) -> jnp.ndarray:
-    """Multiply coefficient i by g^i (or g^-i) — coset evaluation shift."""
+def coset_scale(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Multiply coefficient i by g^i (or g^-i) — coset evaluation shift.
+
+    General polynomial utility (coset-domain products in tests); the prover
+    itself uses the sigma shift (shift_scale) of the CircomReduction basis.
+    """
     n = values.shape[1]
     log_n = n.bit_length() - 1
-    if plan is not None:
-        pw = jnp.asarray(plan["coset_inv"] if inverse else plan["coset_fwd"])
-    else:
-        pw = jnp.asarray(_coset_powers(log_n, inverse))
+    pw = jnp.asarray(_coset_powers(log_n, inverse))
     pw = pw.reshape(pw.shape + (1,) * (values.ndim - 2))
     return LB.mont_mul(FS, values, pw)
 
 
 def coset_ntt(coeffs: jnp.ndarray, plan: dict | None = None) -> jnp.ndarray:
-    return ntt(coset_scale(coeffs, plan=plan), inverse=False, plan=plan)
+    return ntt(coset_scale(coeffs), inverse=False, plan=plan)
 
 
 def coset_intt(evals: jnp.ndarray, plan: dict | None = None) -> jnp.ndarray:
-    return coset_scale(ntt(evals, inverse=True, plan=plan), inverse=True, plan=plan)
+    return coset_scale(ntt(evals, inverse=True, plan=plan), inverse=True)
 
 
 @functools.lru_cache(maxsize=None)
