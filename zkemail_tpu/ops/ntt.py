@@ -7,8 +7,9 @@ packages/helpers/src/chunked-zkey.ts:76-91).
 Design: iterative Cooley-Tukey, stage twiddles precomputed host-side in
 Montgomery form; each stage is a reshape + one batched mont_mul + add/sub on
 (L, n/2) arrays — log2(n) fused VPU passes, no data-dependent control flow.
-Multi-chip: stages whose butterflies span shards exchange via all_to_all in
-parallel/sharding.py.
+Multi-chip: the four-step decomposition in parallel/sharding.py splits a
+length-m NTT into local radix-2 stages plus one cross-shard DFT (all_gather
+over the "msm" mesh axis).
 """
 
 from __future__ import annotations
