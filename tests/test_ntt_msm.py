@@ -157,3 +157,37 @@ def test_msm_multi_matches_single():
         else:
             got = G1(int(fq.to_ints(aff["x"])), int(fq.to_ints(aff["y"])))
         assert got == expect, f"batch element {b} mismatch"
+
+
+def test_msm_multi_chunked_matches_monolithic():
+    """Chunked dispatch (bounded device programs, donated bucket table) is
+    exactly the monolithic msm_multi: the chunk boundaries only reorder the
+    exact EC-group accumulation (ops/msm.msm_multi_chunked — the TPU
+    watchdog fix for the r1/r2 bench crash)."""
+    import numpy as np
+
+    from zkemail_tpu.core import curve_jax as CJ
+    from zkemail_tpu.core import field as F
+    from zkemail_tpu.core.curve import G1
+    from zkemail_tpu.ops.msm import (
+        msm_multi,
+        msm_multi_chunked,
+        points_from_affine_ints,
+    )
+
+    L = F.LIMBS
+    n, B = 37, 2
+    rng = np.random.default_rng(0)
+    g = G1.generator()
+    host = [g.mul(i + 1) for i in range(n)]
+    pts = points_from_affine_ints(
+        CJ.FQ_OPS, [p.x for p in host], [p.y for p in host]
+    )
+    scal = jnp.asarray(rng.integers(0, 4096, size=(L, B, n), dtype=np.int32))
+    base = msm_multi(CJ.FQ_OPS, pts, scal, chunk=4)
+    # 16-point dispatches + a padded tail; different thread partition too
+    got = msm_multi_chunked(CJ.FQ_OPS, pts, scal, points_per_call=16, chunk=4)
+    base_a = CJ.ec_to_affine(CJ.FQ_OPS, base)
+    got_a = CJ.ec_to_affine(CJ.FQ_OPS, got)
+    for k in ("x", "y"):
+        assert np.array_equal(np.asarray(base_a[k]), np.asarray(got_a[k]))
