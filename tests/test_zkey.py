@@ -66,3 +66,53 @@ def test_zkey_rejects_garbage():
 
     with pytest.raises(ValueError, match="magic"):
         read_zkey(b"nope" + bytes(100))
+
+
+def test_zkey_import_with_materialized_instance_rows():
+    """Some snarkjs-convention zkeys materialize the virtual instance rows
+    (matrix A, row nC+s, col s, value 1) directly in the coefficient
+    section. read_zkey must detect and fold them out of n_constraints, and
+    proving under such a key must still verify — compute_h SETs the instance
+    rows, so both conventions evaluate identically (zkey.py module doc)."""
+    import struct as _struct
+
+    from zkemail_tpu.prover import zkey as Z
+
+    cc = _toy()
+    pk = groth16_setup(cc, seed=9)
+    blob = write_zkey(pk, cc)
+
+    # locate section 4 and rebuild it with appended instance rows
+    assert blob[:4] == b"zkey"
+    _v, n_sections = _struct.unpack_from("<II", blob, 4)
+    off = 12
+    parts = [blob[:12]]
+    for _ in range(n_sections):
+        stype, size = _struct.unpack_from("<IQ", blob, off)
+        payload = blob[off + 12 : off + 12 + size]
+        if stype == 4:
+            n_coeffs = _struct.unpack_from("<I", payload, 0)[0]
+            extra = b""
+            n_pub1 = pk.n_public + 1
+            for s in range(n_pub1):
+                extra += _struct.pack(
+                    "<III", 0, pk.n_constraints + s, s
+                ) + Z._fr_bytes(1)
+            payload = (
+                _struct.pack("<I", n_coeffs + n_pub1) + payload[4:] + extra
+            )
+        parts.append(_struct.pack("<IQ", stype, len(payload)) + payload)
+        off += 12 + size
+    blob2 = b"".join(parts)
+
+    pk2, coeffs = Z.read_zkey(blob2)
+    # the materialized rows are detected and folded out
+    assert pk2.n_constraints == pk.n_constraints
+    # ...but remain present in the parsed A matrix (harmless duplicates of
+    # what compute_h SETs)
+    assert max(coeffs["A"][0]) == pk.n_constraints + pk.n_public
+
+    w = cc.eval_witness({"x": jnp.asarray(np.array([5], dtype=np.int32))}, 1)
+    proof, publics = prove(pk2, cc, w[:, :, 0], rng=random.Random(7))
+    assert verify(pk.vk, proof, publics)
+    assert verify(pk2.vk, proof, publics)
