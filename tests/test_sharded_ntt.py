@@ -80,3 +80,41 @@ def test_sharded_h_eval_matches_unsharded():
     mesh = make_mesh(8, dp=2)  # S = 4 msm shards
     got = jax.block_until_ready(sharded_h_eval(mesh, x, log_m))
     assert (np.asarray(ref) == np.asarray(got)).all()
+
+
+@pytest.mark.slow
+def test_mesh_h_stage_matches_plain():
+    """The msm-sharded h stage (groth16._h_stage_mesh_fn — QAP matvecs +
+    instance rows + the four-step sharded NTT pipeline) produces the SAME
+    (w_t, h_t) as the dp-replicated _h_stage_fn, on a (dp=2, msm=4) mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from zkemail_tpu.circuits.builder import ConstraintSystem
+    from zkemail_tpu.prover.groth16 import (
+        _h_stage_fn,
+        _h_stage_mesh_fn,
+        _mesh_ntt_consts,
+        _prove_consts,
+    )
+    from zkemail_tpu.prover.setup import groth16_setup
+
+    cs = ConstraintSystem("htoy")
+    x = cs.add_input("x", (4,))
+    x2 = cs.mul(x, x)
+    y = cs.define(x2[0] + x2[1] + x2[2] + x2[3] + 5)
+    cs.mark_public(y)
+    cc = cs.compile()
+    pk = groth16_setup(cc, seed=3)
+    w = cc.eval_witness(
+        {"x": jnp.asarray(np.array([[1, 2], [3, 4], [5, 6], [7, 8]], np.int32))}, 2
+    )
+    mats, plan = _prove_consts(cc, pk)
+    w_t0, h_t0 = _h_stage_fn(pk)(w, mats, plan)
+
+    mesh = make_mesh(8, dp=2)
+    plan_local, tables = _mesh_ntt_consts(pk, mesh)
+    w_sh = jax.device_put(w, NamedSharding(mesh, PS(None, None, "dp")))
+    fn = jax.jit(_h_stage_mesh_fn(pk, mesh))
+    w_t1, h_t1 = jax.block_until_ready(fn(w_sh, mats, plan_local, tables))
+    assert np.array_equal(np.asarray(w_t0), np.asarray(w_t1))
+    assert np.array_equal(np.asarray(h_t0), np.asarray(h_t1))

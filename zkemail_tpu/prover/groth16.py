@@ -508,9 +508,11 @@ def _prove_sharded(pk, cc, witnesses, mesh, mats, plan):
             tuple(mesh.devices.flat), id(cc))
     if hkey not in cache:
         fn = _h_stage_mesh_fn(pk, mesh) if shard_ntt else _h_stage_fn(pk)
-        # CPU (virtual-device test meshes) runs eagerly — XLA:CPU takes
-        # minutes to compile the nested field loops (utils/scan.py)
-        cache[hkey] = fn if on_cpu else jax.jit(fn)
+        # CPU (virtual-device test meshes): the PLAIN h stage runs eagerly
+        # (XLA:CPU takes minutes to compile the nested field loops), but the
+        # mesh variant contains a shard_map whose eager form compiles far
+        # slower than its jitted form — always jit it.
+        cache[hkey] = fn if (on_cpu and not shard_ntt) else jax.jit(fn)
     if shard_ntt:
         plan_local, tables = _mesh_ntt_consts(pk, mesh)
         w_t, h_t = cache[hkey](witnesses, mats, plan_local, tables)
