@@ -522,11 +522,11 @@ def _prove_sharded(pk, cc, witnesses, mesh, mats, plan):
     mkey = ("msm_stage", bsz, tuple(mesh.devices.flat), id(cc))
     if mkey not in cache:
         fn = _msm_stage_sharded_fn(pk, mesh, n_pads)
-        # CPU (virtual-device test meshes): run the shard_map EAGERLY —
-        # jitting it sends XLA:CPU's algebraic simplifier into a circular
-        # loop on the SPMD-partitioned scan body (minutes to forever);
-        # eager shard_map still exercises the real collective path.
-        cache[mkey] = fn if on_cpu else jax.jit(fn)
+        # always jit OVER the shard_map: XLA:CPU compiles the jitted form in
+        # O(10 min) for toy sizes (gated ZKEMAIL_SLOW_MESH_TESTS coverage),
+        # while the eager shard_map form re-traces and ran 40+ min without
+        # completing. TPU compiles it in minutes either way.
+        cache[mkey] = jax.jit(fn)
     return cache[mkey](
         w_t,
         h_t,
