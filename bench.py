@@ -5,6 +5,10 @@ Prints ONE JSON line to stdout:
 and per-phase progress (including partial-result JSON) to stderr, so a
 timeout still leaves measured numbers in the log tail.
 
+The final line is guaranteed: a SIGTERM/SIGINT handler and an atexit hook
+emit the headline from the best measurements so far, so a driver timeout
+(rc=124) still records a parsed result (VERDICT r3 weak #1).
+
 Default config is the FULL body-checked EmailVerifier at the reference's
 test size (header 640 / body 768, tests/test-circuits/email-verifier-
 test.circom); BENCH_CONFIG=full1024 runs the reference default size
@@ -19,8 +23,10 @@ reports for circuits of this size. vs_baseline = our_throughput /
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
@@ -44,8 +50,56 @@ def partial(detail):
     log("partial " + json.dumps(detail))
 
 
+# shared mutable state the exit handlers read: phases update it as they land
+STATE: dict = {"detail": {}, "emitted": False}
+
+
+def emit_final():
+    """Print the headline JSON from the best measurements so far (idempotent).
+
+    proofs/sec uses steady prove+witness when measured, else the first-pass
+    times (compile-inclusive — marked in detail), else 0.0 with the phases
+    that did complete in detail."""
+    if STATE["emitted"]:
+        return
+    STATE["emitted"] = True
+    detail = STATE["detail"]
+    batch = detail.get("batch", 1)
+    nc = detail.get("n_constraints")
+    prove_s = detail.get("prove_steady_s") or detail.get("prove_first_s")
+    wit_s = detail.get("witness_steady_s") or detail.get("witness_first_s")
+    if prove_s and not detail.get("prove_steady_s"):
+        detail["prove_time_basis"] = "first_pass_incl_compile"
+    pps = 0.0
+    if prove_s and wit_s:
+        pps = batch / (prove_s + wit_s)
+    vs = 0.0
+    if nc and pps:
+        vs = pps / (1.0 / (SNARKJS_SEC_PER_CONSTRAINT * nc))
+    result = {
+        "metric": "emailverifier_groth16_proofs_per_sec",
+        "value": round(pps, 4),
+        "unit": "proofs/s",
+        "vs_baseline": round(vs, 2),
+        "detail": detail,
+    }
+    print(json.dumps(result), flush=True)
+
+
+def _sig_handler(signum, frame):
+    log(f"signal {signum} received; emitting final line from partials")
+    emit_final()
+    # restore default and re-raise so the exit code still reflects the signal
+    signal.signal(signum, signal.SIG_DFL)
+    os.kill(os.getpid(), signum)
+
+
 def main():
     import jax
+
+    atexit.register(emit_final)
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _sig_handler)
 
     # persistent XLA compilation cache: tunneled TPU compiles are the
     # dominant cold-start cost; cache them across bench runs
@@ -53,8 +107,6 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-
-    import numpy as np
 
     from zkemail_tpu.helpers.input_gen import InputGenArgs, generate_email_verifier_inputs
     from zkemail_tpu.helpers.testkit import LocalDKIMSigner
@@ -64,13 +116,16 @@ def main():
     from zkemail_tpu.prover.groth16 import prove_batch
     from zkemail_tpu.prover.setup import groth16_setup_cached
 
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     cfg_name = os.environ.get("BENCH_CONFIG", "full640")
-    # batch 2 keeps the full bench inside a ~1h wall budget at current MSM
-    # throughput (prove work scales ~linearly in batch; proofs/sec is batch-
-    # invariant to first order). BENCH_BATCH overrides.
     batch = int(os.environ.get("BENCH_BATCH", "2"))
     cfg = EmailVerifierConfig(**CONFIGS[cfg_name])
-    detail = {"config": cfg_name, "batch": batch, "backend": jax.default_backend()}
+    detail = STATE["detail"]
+    detail.update(
+        {"config": cfg_name, "batch": batch, "backend": jax.default_backend(),
+         "msm": os.environ.get("ZKEMAIL_MSM", "sort")}
+    )
 
     t0 = time.time()
     # build on the host CPU device: gadget/PreparedLC constants created at
@@ -108,21 +163,21 @@ def main():
     # run measured a COLD setup (VERDICT r2 #4: cold time at full size)
     t0 = time.time()
     import glob as _glob
-    cache_dir = os.path.join(REPO, ".cache")
+    cache_root = os.path.join(REPO, ".cache")
     had_cache = bool(_glob.glob(os.path.join(
-        cache_dir, f"pk3_{cc.name}_{cc.n_constraints}_{cc.n_signals}_*.pkl")))
+        cache_root, f"pk3_{cc.name}_{cc.n_constraints}_{cc.n_signals}_*.pkl")))
     import zkemail_tpu.prover.setup as _setup_mod
     _orig = _setup_mod.groth16_setup
     def _with_progress(cc2, seed=0, progress=None):
         return _orig(cc2, seed, progress=lambda m: log(f"setup: {m}"))
     _setup_mod.groth16_setup = _with_progress
     try:
-        pk = groth16_setup_cached(cc, seed=1, cache_dir=cache_dir)
+        pk = groth16_setup_cached(cc, seed=1, cache_dir=cache_root)
     finally:
         _setup_mod.groth16_setup = _orig
     detail["setup_s"] = round(time.time() - t0, 1)
     detail["setup_cold"] = not had_cache
-    cold_marker = os.path.join(cache_dir, f"setup_cold_{cfg_name}.json")
+    cold_marker = os.path.join(cache_root, f"setup_cold_{cfg_name}.json")
     if not had_cache:
         detail["setup_cold_s"] = detail["setup_s"]
         with open(cold_marker, "w") as f:
@@ -144,10 +199,9 @@ def main():
 
     # witness generation: host-eager by default. The segmented accelerator
     # path (builder.eval_witness_device, ZKEMAIL_WITNESS=device) is correct
-    # and avoids the monolithic-HLO tunnel limit, but its ~19 segment
-    # programs compile at ~7 min EACH through the chipless AOT helper on
-    # this 2-vCPU host (~2 h cold) — viable only once the XLA persistent
-    # cache has them. Host witness at batch 2 costs ~1.2 s/email.
+    # and avoids the monolithic-HLO tunnel limit, but its segment programs
+    # compile ~7 min EACH through the chipless AOT helper on this 2-vCPU
+    # host — viable only once the XLA persistent cache has them.
     use_host_wit = (
         os.environ.get("ZKEMAIL_WITNESS", "host") != "device"
         or jax.default_backend() == "cpu"
@@ -189,48 +243,52 @@ def main():
     w = wit_fn(inputs)
     w.block_until_ready()
     witness_s = time.time() - t0
+    detail["witness_steady_s"] = round(witness_s, 2)
     detail["witness_ms_per_email"] = round(witness_s / batch * 1000, 1)
     log(f"witness steady {witness_s:.2f}s ({detail['witness_ms_per_email']}ms/email)")
     partial(detail)
 
     witnesses = jax.device_put(w, jax.devices()[0])
-    t0 = time.time()
-    proofs = prove_batch(pk, cc, witnesses, progress=lambda m: log(f"prove: {m}"))
-    detail["prove_first_s"] = round(time.time() - t0, 1)
-    log(f"prove first (batch={batch}) {detail['prove_first_s']}s")
-    partial(detail)
     timers = {}
     t0 = time.time()
-    proofs = prove_batch(pk, cc, witnesses, timers=timers)
-    prove_s = time.time() - t0
-    detail["prove_s_per_email"] = round(prove_s / batch, 3)
-    detail["prove_phases"] = timers
-    log(f"prove steady {prove_s:.2f}s ({detail['prove_s_per_email']}s/email) "
-        f"phases={timers}")
+    proofs = prove_batch(
+        pk, cc, witnesses, timers=timers, progress=lambda m: log(f"prove: {m}")
+    )
+    detail["prove_first_s"] = round(time.time() - t0, 1)
+    detail["prove_phases_first"] = timers
+    log(f"prove first (batch={batch}) {detail['prove_first_s']}s phases={timers}")
     partial(detail)
 
-    ok = all(verify(pk.vk, proof, publics) for proof, publics in proofs)
-    detail["verified"] = bool(ok)
+    # verify the first proof (in-budget: one pairing check)
+    t0 = time.time()
+    detail["verified"] = bool(verify(pk.vk, *proofs[0]))
+    detail["verify_s"] = round(time.time() - t0, 1)
     # native C++ verifier cross-check on the first proof
     try:
         from zkemail_tpu.native import verifier as NV
         detail["native_verified"] = bool(NV.verify(pk.vk, *proofs[0]))
     except Exception as exc:  # g++ missing etc.
         detail["native_verified"] = f"skipped: {exc}"
-
-    total_s = witness_s + prove_s
-    proofs_per_sec = batch / total_s if total_s > 0 else 0.0
-    baseline_pps = 1.0 / (SNARKJS_SEC_PER_CONSTRAINT * cc.n_constraints)
     detail["baseline_model"] = "snarkjs @ 15us/constraint single-core"
+    partial(detail)
 
-    result = {
-        "metric": "emailverifier_groth16_proofs_per_sec",
-        "value": round(proofs_per_sec, 4),
-        "unit": "proofs/s",
-        "vs_baseline": round(proofs_per_sec / baseline_pps, 2),
-        "detail": detail,
-    }
-    print(json.dumps(result))
+    # steady-state prove pass (compiles now cached) if the budget allows
+    elapsed = time.time() - t_start
+    if elapsed + detail["prove_first_s"] * 0.9 < budget_s:
+        timers2 = {}
+        t0 = time.time()
+        prove_batch(pk, cc, witnesses, timers=timers2)
+        prove_steady = time.time() - t0
+        detail["prove_steady_s"] = round(prove_steady, 2)
+        detail["prove_s_per_email"] = round(prove_steady / batch, 3)
+        detail["prove_phases"] = timers2
+        log(f"prove steady {prove_steady:.2f}s "
+            f"({detail['prove_s_per_email']}s/email) phases={timers2}")
+        partial(detail)
+    else:
+        log(f"skipping steady pass (elapsed {elapsed:.0f}s vs budget {budget_s:.0f}s)")
+
+    emit_final()
 
 
 if __name__ == "__main__":

@@ -2,14 +2,21 @@
 
 from pathlib import Path
 
+import pytest
+
 from zkemail_tpu.contracts.reference_impl import (
     UserOverrideableRegistryModel,
+    circom_pack_bool,
     circom_pack_fields,
+    circom_pack_fields_padded,
+    circom_unpack_bool,
     circom_unpack_fields,
+    circom_unpack_fields_padded,
     convert_packed_bytes_to_string,
     get_domain_from_email,
     noir_pack_bounded_vec_u8,
     noir_pack_fields,
+    noir_unpack_bounded_vec_u8,
     noir_unpack_fields,
 )
 from zkemail_tpu.helpers.binary_format import pack_bytes_to_fields
@@ -34,10 +41,43 @@ def test_circom_packing_matches_circuit_layout():
 
 
 def test_noir_packing_roundtrip():
+    """Reference NoirUtils ABI: 31-byte LE fields + BoundedVec<u8> encoding
+    (packages/contracts/utils/NoirUtils.sol:10-51)."""
     data = bytes(range(1, 60))
-    assert noir_unpack_fields(noir_pack_fields(data)) == data
-    bv = noir_pack_bounded_vec_u8(data, 64)
+    # packFieldsArray: ceil(59/31)=2 fields, LE within each
+    fields = noir_pack_fields(data, 2)
+    assert len(fields) == 2
+    assert fields[0] == int.from_bytes(data[:31], "little")
+    assert noir_unpack_fields(fields) == data  # trailing-zero trim
+    with pytest.raises(ValueError, match="InvalidLength"):
+        noir_pack_fields(data, 1)
+    # BoundedVec: numFields INCLUDES the length slot
+    bv = noir_pack_bounded_vec_u8(data, 65)
     assert len(bv) == 65 and bv[64] == len(data) and bv[: len(data)] == list(data)
+    assert noir_unpack_bounded_vec_u8(bv) == data
+    with pytest.raises(ValueError, match="InvalidLength"):
+        noir_pack_bounded_vec_u8(data, len(data))
+
+
+def test_circom_padded_and_bool_packing():
+    """Reference CircomUtils ABI: paddedSize forms + packBool/unpackBool
+    (packages/contracts/utils/CircomUtils.sol:41,78,94,129)."""
+    data = b"user@zkemail.example"
+    padded = 62  # 2 fields
+    fields = circom_pack_fields_padded(data, padded)
+    assert len(fields) == 2
+    # zero-padding beyond the data, identical prefix to the unpadded form
+    assert fields[0] == circom_pack_fields(data + bytes(62 - len(data)))[0]
+    assert circom_unpack_fields_padded(fields, padded) == data  # trim zeros
+    with pytest.raises(ValueError, match="InvalidDataLength"):
+        circom_pack_fields_padded(bytes(63), padded)
+    with pytest.raises(IndexError):  # undersized fields = solidity OOB panic
+        circom_unpack_fields_padded(fields[:1], padded)
+    # internal zeros survive the trim; only the trailing run is dropped
+    z = b"a\x00b\x00"
+    assert circom_unpack_fields_padded(circom_pack_fields_padded(z, 31), 31) == b"a\x00b"
+    assert circom_pack_bool(True) == [1] and circom_pack_bool(False) == [0]
+    assert circom_unpack_bool([1]) is True and circom_unpack_bool([0]) is False
 
 
 def test_get_domain():

@@ -95,3 +95,76 @@ def test_dkim_result_carries_auth_results():
     assert f"header.s={res.selector}" in res.auth_results
     # relaxed alignment yields the organizational domain of d=
     assert res.status["aligned"] == psl_get(res.signing_domain)
+
+
+def test_parse_tags_state_machine():
+    """Adversarial tag lists through the headerParser state machine
+    (parse-dkim-headers.ts:146-260): quoted ';', comments, escapes, FWS."""
+    from zkemail_tpu.helpers.dkim import parse_tags, parse_tags_full
+
+    # a ';' inside a quoted value must NOT split the part
+    tags = parse_tags(b'v=1; x="a;b"; d=example.com')
+    assert tags["x"] == "a;b"
+    assert tags["d"] == "example.com"
+    # RFC 5322 comment: stripped from the value, captured separately
+    parts = parse_tags_full(b"v=1; s=sel (primary selector); d=example.com")
+    by_key = {p["key"]: p for p in parts}
+    assert by_key["s"]["value"] == "sel"
+    assert by_key["s"]["comment"] == "primary selector"
+    # a ';' inside a comment does not split either
+    tags = parse_tags(b"v=1; s=sel (a;b); d=example.com")
+    assert tags["s"] == "sel" and tags["d"] == "example.com"
+    # backslash escape protects a ';'
+    assert parse_tags(rb"v=1; z=from:a\;b; d=e.com")["z"] == "from:a;b"
+    # folded b= value: whitespace fully removed for b/bh/p/h
+    folded = b"v=1; b=AAAA\r\n\tBBBB CC\r\n CC; bh=Zm9v\r\n\tYmFy"
+    tags = parse_tags(folded)
+    assert tags["b"] == "AAAABBBBCCCC"
+    assert tags["bh"] == "Zm9vYmFy"
+    # other values: internal FWS collapses to single spaces
+    assert parse_tags(b"v=1; h=from :\r\n\tto : subject")["h"] == "from:to:subject"
+    # z= copy-headers survive with their pipe separators
+    z = parse_tags(b"v=1; z=From:a@e.com|To:b@e.com")["z"]
+    assert z == "From:a@e.com|To:b@e.com"
+    # later duplicate keys win (reference result[key] overwrite)
+    assert parse_tags(b"v=1; s=one; s=two")["s"] == "two"
+    # empty parts / trailing ';' are dropped
+    assert "" not in parse_tags(b"v=1;; d=e.com;")
+
+
+def test_signature_version_error_code():
+    """v= other than 1 -> EINVALIDVER (dkim-verifier.ts:325)."""
+    from zkemail_tpu.helpers.dkim import DKIMError, verify_dkim_signature
+    from zkemail_tpu.helpers.testkit import LocalDKIMSigner
+
+    signer = LocalDKIMSigner()
+    eml = signer.sign_email(body=b"versioned\r\n")
+    bad = eml.replace(b"v=1;", b"v=2;", 1)
+    with pytest.raises(DKIMError) as exc:
+        verify_dkim_signature(bad, signer.resolver())
+    assert exc.value.code == "EINVALIDVER"
+
+
+def test_key_record_error_taxonomy():
+    """DNS key-record parsing raises the reference codes
+    (tools.ts processPublicKey:301-387)."""
+    from zkemail_tpu.helpers.dkim import DKIMError
+    from zkemail_tpu.helpers.dns import parse_dkim_txt
+
+    with pytest.raises(DKIMError) as exc:
+        parse_dkim_txt("v=DKIM2; k=rsa; p=AAAA", strict=True)
+    assert exc.value.code == "EINVALIDVER"
+    with pytest.raises(DKIMError) as exc:
+        parse_dkim_txt("v=DKIM1; k=ed25519; p=AAAA", strict=True)
+    assert exc.value.code == "EINVALIDTYPE"
+    with pytest.raises(DKIMError) as exc:
+        parse_dkim_txt("v=DKIM1; k=dsa; p=AAAA", strict=True)
+    assert exc.value.code == "EINVALIDTYPE"
+    with pytest.raises(DKIMError) as exc:
+        parse_dkim_txt("v=DKIM1; k=rsa; p=", strict=True)
+    assert exc.value.code == "EINVALIDVAL"
+    with pytest.raises(DKIMError) as exc:
+        parse_dkim_txt("v=DKIM1; k=rsa; p=!!notbase64!!", strict=True)
+    assert exc.value.code == "EINVALIDVAL"
+    # non-strict keeps the lenient contract for crawler-style callers
+    assert parse_dkim_txt("v=DKIM1; k=ed25519; p=AAAA") is None

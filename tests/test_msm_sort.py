@@ -1,0 +1,100 @@
+"""Sort-based MSM (ops/msm_sort.py) vs the bucket-scan msm_multi.
+
+The sort/telescope pipeline is the TPU prove path's default MSM (the role of
+wasmcurves MSM under snarkjs.groth16.fullProve, chunked-zkey.ts:76-91); these
+tests pin its exact EC-group equality with the bucket-scan design across
+window sizes, block sizes, row chunking, G2, and adversarial scalar
+distributions (zeros, duplicates/long runs, p-1)."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from zkemail_tpu.core import curve_jax as CJ
+from zkemail_tpu.core import field as F
+from zkemail_tpu.core import limbs as LB
+from zkemail_tpu.core.curve import G1, G2
+from zkemail_tpu.ops import msm as MSM
+from zkemail_tpu.ops.msm_sort import msm_sorted
+
+P = F.R
+RNG = random.Random(19)
+
+
+def affine_eq(ops, a, b):
+    aa, bb = CJ.ec_to_affine(ops, a), CJ.ec_to_affine(ops, b)
+    return all(
+        (np.asarray(aa[k]) == np.asarray(bb[k])).all() for k in ("x", "y", "inf")
+    )
+
+
+def _scal_arr(rows):
+    return jnp.asarray(LB.ints_to_limbs(np.array(rows, dtype=object)))
+
+
+def test_extract_signed_digits_wide_windows():
+    """Digit recode must reconstruct the scalar for c > 8 (the uint8 storage
+    truncated c>=9 magnitudes until round 4)."""
+    for c in (8, 12, 13, 16):
+        w = -(-254 // c)
+        vals = [RNG.randrange(P) for _ in range(4)] + [0, 1, P - 1]
+        sc = _scal_arr(vals)
+        mag, neg = MSM.extract_signed_digits(sc, c, w)
+        mag = np.asarray(mag).astype(np.int64)
+        neg = np.asarray(neg).astype(np.int64)
+        d = (1 - 2 * neg) * mag
+        for i, v in enumerate(vals):
+            rec = sum(int(d[k, i]) << (c * k) for k in range(w))
+            assert rec == v, f"c={c} value {i}"
+
+
+def test_msm_sorted_matches_bucket_g1():
+    """Multi-level telescoping (small K/cutoff force >=3 levels) on a scalar
+    mix with long equal-digit runs, zeros, and boundary values."""
+    n, bsz = 96, 3
+    host_pts = [G1.generator().mul(RNG.randrange(1, 10**9)) for _ in range(n - 1)]
+    host_pts.append(G1.identity())
+    pts = MSM.points_from_affine_ints(
+        CJ.FQ_OPS,
+        [0 if p.inf else p.x for p in host_pts],
+        [1 if p.inf else p.y for p in host_pts],
+        [p.inf for p in host_pts],
+    )
+    rows = []
+    for _ in range(bsz):
+        row = [RNG.randrange(P) for _ in range(n)]
+        row[0], row[1], row[2] = 0, 1, P - 1
+        for j in range(20, 50):
+            row[j] = row[20]  # duplicates -> long same-digit runs
+        rows.append(row)
+    scal = _scal_arr(rows)
+    base = MSM.msm_multi(CJ.FQ_OPS, pts, scal, chunk=8)
+    for c, k, cut, r in [(13, 4, 8, 0), (8, 4, 8, 5)]:
+        got = msm_sorted(CJ.FQ_OPS, pts, scal, c_bits=c, k_block=k, cutoff=cut, row_chunk=r)
+        assert affine_eq(CJ.FQ_OPS, got, base), f"c={c} K={k}"
+
+
+def test_msm_sorted_matches_bucket_g2():
+    n = 17
+    host = [G2.generator().mul(RNG.randrange(1, 10**9)) for _ in range(n)]
+    pts = MSM.g2_points_from_affine(
+        [p.x.c0 for p in host], [p.x.c1 for p in host],
+        [p.y.c0 for p in host], [p.y.c1 for p in host],
+    )
+    scal = _scal_arr([[RNG.randrange(P) for _ in range(n)] for _ in range(2)])
+    base = MSM.msm_multi(CJ.FQ2_OPS, pts, scal, chunk=4)
+    got = msm_sorted(CJ.FQ2_OPS, pts, scal, c_bits=13, k_block=4, cutoff=8)
+    assert affine_eq(CJ.FQ2_OPS, got, base)
+
+
+def test_msm_sorted_zero_vector():
+    n = 8
+    host_pts = [G1.generator().mul(i + 1) for i in range(n)]
+    pts = MSM.points_from_affine_ints(
+        CJ.FQ_OPS, [p.x for p in host_pts], [p.y for p in host_pts]
+    )
+    scal = _scal_arr([[0] * n])
+    got = msm_sorted(CJ.FQ_OPS, pts, scal, c_bits=13, k_block=4, cutoff=4)
+    aff = CJ.ec_to_affine(CJ.FQ_OPS, got)
+    assert bool(np.asarray(aff["inf"]).all())

@@ -46,12 +46,20 @@ def test_zkey_roundtrip_and_prove():
     assert pk2.beta_g2 == pk.beta_g2
     assert pk2.vk.ic == pk.vk.ic
 
-    # A/B coefficient stream matches the circuit's R1CS
+    # A/B coefficient stream: the circuit's R1CS followed by the snarkjs-style
+    # materialized instance rows (A row nC+s, col s, value 1) that pin
+    # max(row)+1 = nC + nPublic + 1 for authoritative re-import inference
     rows_a, cols_a, vals_a = cc.A
-    assert coeffs["A"][0] == [int(r) for r in rows_a]
-    assert coeffs["A"][1] == [int(c) for c in cols_a]
-    assert coeffs["A"][2] == [int(v) for v in vals_a]
+    n_r1cs = len(rows_a)
+    npub1 = pk.n_public + 1
+    assert coeffs["A"][0][:n_r1cs] == [int(r) for r in rows_a]
+    assert coeffs["A"][1][:n_r1cs] == [int(c) for c in cols_a]
+    assert coeffs["A"][2][:n_r1cs] == [int(v) for v in vals_a]
+    assert coeffs["A"][0][n_r1cs:] == [cc.n_constraints + s for s in range(npub1)]
+    assert coeffs["A"][1][n_r1cs:] == list(range(npub1))
+    assert coeffs["A"][2][n_r1cs:] == [1] * npub1
     assert len(coeffs["B"][0]) == len(cc.B[0])
+    assert pk2.n_constraints == cc.n_constraints
 
     # prove under the re-imported key; verify under the original vkey
     w = cc.eval_witness({"x": jnp.asarray(np.array([5], dtype=np.int32))}, 1)

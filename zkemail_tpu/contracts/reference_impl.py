@@ -38,23 +38,100 @@ def circom_unpack_fields(fields: list[int], byte_length: int) -> bytes:
     return bytes(out)
 
 
-# ----------------------------------------------------------------- NoirUtils
-def noir_pack_bounded_vec_u8(data: bytes, max_length: int) -> list[int]:
-    assert len(data) <= max_length
-    out = [0] * (max_length + 1)
-    for i, b in enumerate(data):
-        out[i] = b
-    out[max_length] = len(data)
+def circom_pack_fields_padded(data: bytes, padded_size: int) -> list[int]:
+    """Reference-ABI form (CircomUtils.packFieldsArray(bytes,uint256)):
+    zero-pads out to padded_size bytes; reverts InvalidDataLength if longer."""
+    if len(data) > padded_size:
+        raise ValueError("InvalidDataLength")
+    n = (padded_size + BYTES_PER_FIELD - 1) // BYTES_PER_FIELD
+    out = []
+    for k in range(n):
+        acc = 0
+        for j in range(BYTES_PER_FIELD):
+            i = k * BYTES_PER_FIELD + j
+            if i >= padded_size:
+                break
+            if i < len(data):
+                acc |= data[i] << (8 * j)
+        out.append(acc)
     return out
 
 
-def noir_pack_fields(data: bytes) -> list[int]:
-    return list(data)
+def circom_unpack_fields_padded(fields: list[int], padded_size: int) -> bytes:
+    """Reference-ABI unpack: read ceil(padded_size/31) fields, trim trailing
+    zero bytes. An undersized fields array raises (array OOB panic parity)."""
+    n = (padded_size + BYTES_PER_FIELD - 1) // BYTES_PER_FIELD
+    raw = bytearray()
+    for i in range(n):
+        f = fields[i]  # IndexError == solidity array-OOB panic
+        for _ in range(BYTES_PER_FIELD):
+            if len(raw) >= padded_size:
+                break
+            raw.append(f & 0xFF)
+            f >>= 8
+    actual = 0
+    for i, b in enumerate(raw):
+        if b:
+            actual = i + 1
+    return bytes(raw[:actual])
+
+
+def circom_pack_bool(value: bool) -> list[int]:
+    return [1 if value else 0]
+
+
+def circom_unpack_bool(fields: list[int]) -> bool:
+    return fields[0] == 1
+
+
+# ----------------------------------------------------------------- NoirUtils
+def noir_pack_bounded_vec_u8(data: bytes, num_fields: int) -> list[int]:
+    """BoundedVec<u8>: num_fields INCLUDES the trailing length slot
+    (reference NoirUtils.packBoundedVecU8 — InvalidLength when
+    len(data) >= num_fields)."""
+    if len(data) >= num_fields:
+        raise ValueError("InvalidLength")
+    out = [0] * num_fields
+    for i, b in enumerate(data):
+        out[i] = b
+    out[num_fields - 1] = len(data)
+    return out
+
+
+def noir_unpack_bounded_vec_u8(fields: list[int]) -> bytes:
+    """Inverse: length from the final field, one LSB byte per field."""
+    length = fields[-1]
+    return bytes(fields[i] & 0xFF for i in range(length))
+
+
+def noir_pack_fields(data: bytes, num_fields: int) -> list[int]:
+    """31-byte LE fields (reference NoirUtils.packFieldsArray)."""
+    if len(data) > num_fields * BYTES_PER_FIELD:
+        raise ValueError("InvalidLength")
+    out = []
+    for i in range(num_fields):
+        start = i * BYTES_PER_FIELD
+        f = 0
+        for j in range(BYTES_PER_FIELD):
+            if start + j >= len(data):
+                break
+            f |= data[start + j] << (8 * j)
+        out.append(f)
+    return out
 
 
 def noir_unpack_fields(fields: list[int]) -> bytes:
-    assert all(0 <= f < 256 for f in fields)
-    return bytes(fields)
+    """Inverse of noir_pack_fields, trimming trailing zero bytes."""
+    raw = bytearray()
+    for f in fields:
+        for _ in range(BYTES_PER_FIELD):
+            raw.append(f & 0xFF)
+            f >>= 8
+    actual = 0
+    for i, b in enumerate(raw):
+        if b:
+            actual = i + 1
+    return bytes(raw[:actual])
 
 
 # --------------------------------------------------------------- StringUtils

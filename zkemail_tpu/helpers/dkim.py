@@ -61,17 +61,93 @@ def parse_message(raw: bytes) -> ParsedMessage:
 # DKIM-Signature tag list parsing (parse-dkim-headers.ts equivalent)
 # ---------------------------------------------------------------------------
 
-def parse_tags(value: bytes) -> dict[str, str]:
-    tags = {}
-    # unfold and split on ';'
-    unfolded = re.sub(rb"\r\n[ \t]", b" ", value)
-    for part in unfolded.split(b";"):
-        part = part.strip()
-        if not part or b"=" not in part:
+def parse_tags_full(value: bytes) -> list[dict]:
+    """Tag-list state machine (parse-dkim-headers.ts headerParser:146-260).
+
+    Character-level states key/value/comment/quoted: `;` splits parts only
+    at the top level (a `;` inside a quoted section or RFC 5322 comment is
+    literal), `(...)` comments are captured separately from the value,
+    backslash escapes the next character, and folded/FWS whitespace inside
+    values collapses to single spaces. Returns the raw parts
+    [{key, value, comment, has_value}] in order; empty-key parts dropped and
+    per-key whitespace policy applied (b/bh/p/h strip ALL whitespace, like
+    the reference's parts[i].value.replace(/\\s+/g, '')).
+    """
+    line = re.sub(rb"\r\n", b"", value).decode("latin-1")
+    parts: list[dict] = []
+
+    def new_part():
+        p = {"key": "", "value": "", "comment": "", "has_value": False}
+        parts.append(p)
+        return p
+
+    state = "key"
+    last_state = "key"
+    quote = ""
+    escaped = False
+    cur = new_part()
+    for c in line:
+        if state in ("key", "value"):
+            if state == "key" and c == "=" and not escaped:
+                state = "value"
+                cur["has_value"] = True
+                continue
+            if escaped:
+                cur[state] += c
+                escaped = False
+            elif c == ";":
+                cur = new_part()
+                state = "key"
+            elif c == "\\":
+                escaped = True
+            elif c == "(":
+                last_state = state
+                state = "comment"
+            elif c in "\"'":
+                last_state = state
+                state = "quoted"
+                quote = c
+            else:
+                cur[state] += c
+        elif state == "comment":
+            if escaped:
+                cur["comment"] += c
+                escaped = False
+            elif c == "\\":
+                escaped = True
+            elif c == ")":
+                state = last_state
+            else:
+                cur["comment"] += c
+        elif state == "quoted":
+            if escaped:
+                cur[last_state] += c
+                escaped = False
+            elif c == "\\":
+                escaped = True
+            elif c == quote:
+                state = last_state
+            else:
+                cur[last_state] += c
+
+    out = []
+    for p in parts:
+        p["key"] = re.sub(r"\s+", " ", p["key"]).strip().lower()
+        if not p["key"]:
             continue
-        k, v = part.split(b"=", 1)
-        tags[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
-    return tags
+        if p["key"] in ("bh", "b", "p", "h"):
+            p["value"] = re.sub(r"\s+", "", p["value"])
+        else:
+            p["value"] = re.sub(r"\s+", " ", p["value"]).strip()
+        p["comment"] = re.sub(r"\s+", " ", p["comment"]).strip()
+        out.append(p)
+    return out
+
+
+def parse_tags(value: bytes) -> dict[str, str]:
+    """{tag: value} view of parse_tags_full (later duplicates win, matching
+    the reference's result[part.key] overwrite)."""
+    return {p["key"]: p["value"] for p in parse_tags_full(value)}
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +322,11 @@ def _try_verify(
 def _verify_one(
     parsed, sig_header_raw, tags, resolver, skip_body_hash: bool = False
 ) -> DKIMVerificationResult:
+    # v=1 is the only defined DKIM-Signature version (RFC 6376 §3.5); the
+    # reference surfaces unknown versions as EINVALIDVER
+    # (dkim-verifier.ts:325, mirrored from the key-record check)
+    if "v" in tags and tags["v"].strip() != "1":
+        raise DKIMError("EINVALIDVER", f"unknown signature version {tags['v']!r}")
     algo = tags.get("a", "rsa-sha256")
     from .tools import validate_algorithm
 

@@ -26,28 +26,62 @@ DOH_PROVIDERS = [
 ARCHIVE_URL = "https://archive.prove.email/api/key?domain={domain}"
 
 
-def parse_dkim_txt(txt: str) -> tuple[int, int] | None:
-    """Parse a DKIM TXT record: k=rsa; p=<base64 SubjectPublicKeyInfo>."""
-    txt = txt.strip().strip('"').replace('" "', "")
+def parse_dkim_txt(txt: str, strict: bool = False):
+    """Parse a DKIM TXT record: k=rsa; p=<base64 SubjectPublicKeyInfo>.
+
+    strict=True raises the reference's key-record error taxonomy
+    (mailauth tools.ts processPublicKey:301-387) instead of returning None:
+    EINVALIDVAL (missing/undecodable p=), EINVALIDVER (v= present and not
+    DKIM1), EINVALIDTYPE (k= not a known type, or the key material is not
+    RSA — the circuit proves RSA only, so ed25519 keys are rejected with
+    the type code, not a parse accident).
+    """
+    from .dkim import DKIMError
+
+    def fail(code, msg):
+        if strict:
+            raise DKIMError(code, msg)
+        return None
+
+    txt = txt.strip().strip('"').replace('" "', "").replace('""', "")
     tags = {}
     for part in txt.split(";"):
         if "=" in part:
             k, v = part.split("=", 1)
             tags[k.strip().lower()] = v.strip()
+    if "v" in tags and tags["v"].strip().lower() != "dkim1":
+        return fail("EINVALIDVER", f"unknown key version {tags['v']!r}")
+    ktype = tags.get("k", "rsa").strip().lower()
+    if ktype not in ("rsa", "ed25519"):
+        return fail("EINVALIDTYPE", f"unknown key type {ktype!r}")
+    if ktype == "ed25519":
+        return fail("EINVALIDTYPE", "ed25519 key (circuit proves rsa-sha256 only)")
     p = tags.get("p", "")
     if not p:
-        return None
-    if tags.get("k", "rsa").lower() != "rsa":
-        return None
-    der = base64.b64decode(re.sub(r"\s+", "", p) + "==")
-    return _rsa_from_spki(der)
+        return fail("EINVALIDVAL", "missing key value")
+    try:
+        der = base64.b64decode(re.sub(r"\s+", "", p) + "==")
+        return _rsa_from_spki(der)
+    except DKIMError:
+        raise
+    except Exception as exc:  # bad base64 / DER
+        return fail("EINVALIDVAL", f"invalid public key: {exc}")
 
 
 def _rsa_from_spki(der: bytes) -> tuple[int, int]:
     """Extract (n, e) from an ASN.1 SubjectPublicKeyInfo (or PKCS#1) blob."""
+    from cryptography.hazmat.primitives.asymmetric.rsa import RSAPublicKey
     from cryptography.hazmat.primitives.serialization import load_der_public_key
 
     key = load_der_public_key(der)
+    if not isinstance(key, RSAPublicKey):
+        from .dkim import DKIMError
+
+        # e.g. an ed25519 SPKI with no k= tag: reject with the TYPE code
+        # (tools.ts:363), not as a value-parse accident
+        raise DKIMError(
+            "EINVALIDTYPE", f"{type(key).__name__} key (circuit proves rsa only)"
+        )
     nums = key.public_numbers()
     return (nums.n, nums.e)
 
@@ -90,6 +124,7 @@ class DoHResolver:
         self.timeout = timeout
         self.retries = retries  # extra attempts after the first
         self.union_on_mismatch = union_on_mismatch
+        self._last_key_error = None
 
     def _query(self, tmpl: str, name: str) -> list | None:
         """One provider, with `retries` retries after the first attempt.
@@ -104,7 +139,15 @@ class DoHResolver:
                     data = json.loads(resp.read())
                 keys = []
                 for ans in data.get("Answer", []) or []:
-                    parsed = parse_dkim_txt(ans.get("data", ""))
+                    # strict parse: remember the taxonomy error (EINVALIDVER/
+                    # EINVALIDTYPE/EINVALIDVAL) but keep trying other records
+                    # — key-rotation sets often mix good and bad records
+                    # (tools.ts getPublicKey:277-299)
+                    try:
+                        parsed = parse_dkim_txt(ans.get("data", ""), strict=True)
+                    except Exception as exc:
+                        self._last_key_error = exc
+                        parsed = None
                     if parsed:
                         keys.append(parsed)
                 return keys
@@ -115,6 +158,7 @@ class DoHResolver:
 
     def __call__(self, domain: str, selector: str):
         name = f"{selector}._domainkey.{domain}"
+        self._last_key_error = None
         per_provider = [(t, self._query(t, name)) for t in self.providers]
         answered = [(t, ks) for t, ks in per_provider if ks is not None]
         # cross-check: two providers that both answered should agree
@@ -142,6 +186,10 @@ class DoHResolver:
                 if k not in seen:
                     seen.add(k)
                     keys.append(k)
+        if not keys and self._last_key_error is not None:
+            # records existed but none parsed to a usable key: surface the
+            # last taxonomy error, not a bare "no key" (getPublicKey:295-297)
+            raise self._last_key_error
         return keys
 
 
@@ -158,16 +206,22 @@ class ArchiveResolver:
                 self.url.format(domain=domain), timeout=self.timeout
             ) as resp:
                 entries = json.loads(resp.read())
-            keys = []
-            for entry in entries:
-                if entry.get("selector") != selector:
-                    continue
-                parsed = parse_dkim_txt(entry.get("value", ""))
-                if parsed:
-                    keys.append(parsed)
-            return keys
         except Exception:
             return []
+        keys, key_err = [], None
+        for entry in entries:
+            if entry.get("selector") != selector:
+                continue
+            try:
+                parsed = parse_dkim_txt(entry.get("value", ""), strict=True)
+            except Exception as exc:
+                key_err = exc
+                parsed = None
+            if parsed:
+                keys.append(parsed)
+        if not keys and key_err is not None:
+            raise key_err
+        return keys
 
 
 class ChainResolver:
@@ -178,9 +232,17 @@ class ChainResolver:
 
     def __call__(self, domain: str, selector: str):
         keys, seen = [], set()
+        key_err = None
         for r in self.resolvers:
-            for k in r(domain, selector):
+            try:
+                found = r(domain, selector)
+            except Exception as exc:  # taxonomy error: keep trying the chain
+                key_err = exc
+                continue
+            for k in found:
                 if k not in seen:
                     seen.add(k)
                     keys.append(k)
+        if not keys and key_err is not None:
+            raise key_err
         return keys

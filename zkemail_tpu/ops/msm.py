@@ -66,11 +66,12 @@ def extract_signed_digits(
         return over, signed
 
     _, signed = jax.lax.scan(recode, jnp.zeros((n,), jnp.int32), d)
-    # uint8 storage: mag in 0..128, neg in {0,1} — the full-table layout is
-    # (W, B*n) and at CRS scale the int32 version alone cost 1.3 GB of HBM;
-    # consumers widen back to int32 per scan step
+    # narrow storage: the full-table layout is (W, B*n) and at CRS scale the
+    # int32 version alone cost 1.3 GB of HBM; consumers widen back to int32.
+    # mag reaches 2^(c-1), so uint8 only fits through c=8 (uint16 to c=17).
+    mag_dtype = jnp.uint8 if c_bits <= 8 else jnp.uint16
     neg = (signed < 0).astype(jnp.uint8)
-    mag = jnp.abs(signed).astype(jnp.uint8)
+    mag = jnp.abs(signed).astype(mag_dtype)
     return mag, neg
 
 
@@ -284,12 +285,15 @@ def msm_multi_chunked(
     w_eff = bsz * n_windows
     mag = mag.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
     neg = neg.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
-    # pad so every dispatch sees the SAME slice shape (one compiled program)
+    # pad so every dispatch sees the SAME slice shape (one compiled program).
+    # Only the digit arrays are padded up front (cheap); the POINT padding is
+    # applied to the final slice alone — padding the whole device-resident
+    # CRS query would materialize a second full copy (hundreds of MB) right
+    # at the HBM peak the chunking exists to avoid.
     n_pad = -(-n // ppc) * ppc
     if n_pad != n:
         mag = jnp.pad(mag, ((0, 0), (0, n_pad - n)))
         neg = jnp.pad(neg, ((0, 0), (0, n_pad - n)))
-        points = _pad_points(ops, points, n_pad - n)
 
     on_accel = jax.default_backend() != "cpu"
     accum = (
@@ -301,9 +305,12 @@ def msm_multi_chunked(
     n_calls = n_pad // ppc
     for ci in range(n_calls):
         s0, s1 = ci * ppc, (ci + 1) * ppc
+        pt_slice = _slice_pt(points, (slice(s0, min(s1, n)),))
+        if s1 > n:
+            pt_slice = _pad_points(ops, pt_slice, s1 - n)
         buckets = accum(
             buckets,
-            _slice_pt(points, (slice(s0, s1),)),
+            pt_slice,
             mag[:, s0:s1],
             neg[:, s0:s1],
         )

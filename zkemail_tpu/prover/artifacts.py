@@ -31,6 +31,13 @@ from .setup import ProvingKey
 # same suffix alphabet as chunked-zkey.ts:9 ("b" .. "k" = up to 10 chunks)
 _SUFFIXES = "bcdefghijk"
 
+# Manifest format version. Bumped with the CircomReduction H-basis switch
+# (mirroring the pickle cache's pk3_ prefix bump): older manifests carry an
+# h_query in the tau^i*Z/delta basis and no n_constraints, which would prove
+# *invalid* proofs with no error if loaded. Bump whenever ProvingKey
+# semantics change.
+_FORMAT_VERSION = 3
+
 _QUERIES = ("a_query", "b1_query", "b2_query", "c_query", "h_query")
 
 
@@ -97,6 +104,7 @@ def export_chunked(pk: ProvingKey, out_dir: str, name: str = "emailverifier",
             "sha256": hashlib.sha256(blob).hexdigest(),
         })
     manifest = {
+        "format_version": _FORMAT_VERSION,
         "name": name,
         "domain_log2": pk.domain_log2,
         "n_public": pk.n_public,
@@ -127,6 +135,16 @@ def load_chunked(out_dir: str, name: str = "emailverifier",
     """Load + integrity-check chunks, rebuild the ProvingKey."""
     out = Path(out_dir)
     manifest = json.loads((out / f"{name}.manifest.json").read_text())
+    ver = manifest.get("format_version")
+    if ver != _FORMAT_VERSION or "n_constraints" not in manifest:
+        # refuse stale pre-H-basis exports: n_constraints defaulting to 0
+        # would let compute_h's instance-row SET overwrite A·w rows, and an
+        # old-basis h_query silently yields invalid proofs
+        raise ValueError(
+            f"chunked artifact '{name}' has format_version={ver!r} "
+            f"(need {_FORMAT_VERSION} with n_constraints); re-export with "
+            "export_chunked"
+        )
     raw = bytearray()
     for ch in manifest["chunks"]:
         with gzip.open(out / ch["file"], "rb") as f:
@@ -163,7 +181,7 @@ def load_chunked(out_dir: str, name: str = "emailverifier",
     return ProvingKey(
         domain_log2=manifest["domain_log2"],
         n_public=manifest["n_public"],
-        n_constraints=manifest.get("n_constraints", 0),
+        n_constraints=manifest["n_constraints"],
         alpha_g1=_g1_from(hp["alpha_g1"]),
         beta_g1=_g1_from(hp["beta_g1"]),
         beta_g2=_g2_from(hp["beta_g2"]),

@@ -233,23 +233,54 @@ def _pt_at(pt, i: int):
 
 
 def _msm_call(pk, kind: str, q, scal, progress=None):
-    """One batched MSM, dispatched in bounded chunks on accelerators.
+    """One batched MSM, dispatched in bounded device programs on accelerators.
 
-    A single monolithic bucket scan over a CRS-sized point set runs past the
-    TPU worker's per-program watchdog and kills the device (the r1/r2 bench
-    "kernel fault"); ops.msm.msm_multi_chunked slices the point stream into
-    ~128k-point programs with the bucket table donated between dispatches,
-    bounding every program to seconds. Also keeps peak HBM low (the
-    all-in-one batched program OOMed a 16 GB v5e at the 1.35M-constraint
-    EmailVerifier)."""
+    Default accelerator path is the sort-based MSM (ops/msm_sort.py): no
+    bucket table, no scatter — the bucket-scan design spent 60-90% of every
+    step copying its 2.2 GB carry table (PERF_NOTES.md). ZKEMAIL_MSM=bucket
+    falls back to the chunked bucket scan (ops.msm.msm_multi_chunked), whose
+    per-dispatch bounding exists for the same reason the sort path chunks by
+    rows: a single monolithic program runs past the TPU worker's per-program
+    watchdog and kills the device (the r1/r2 bench "kernel fault")."""
     import jax
 
     ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
     if jax.default_backend() == "cpu":
         return msm_multi(ops, q, scal)
-    from ..ops.msm import msm_multi_chunked
+    if os.environ.get("ZKEMAIL_MSM", "sort") == "bucket":
+        from ..ops.msm import msm_multi_chunked
 
-    return msm_multi_chunked(ops, q, scal, progress=progress)
+        return msm_multi_chunked(ops, q, scal, progress=progress)
+    from ..ops.msm_sort import msm_sorted
+
+    return msm_sorted(ops, q, scal, progress=progress)
+
+
+def _c_query_padded(pk):
+    """c_query front-padded with n_public+1 identity points, cached on pk.
+
+    Lets the c MSM run over the FULL signal vector (public scalar columns
+    zeroed) so it shares one compiled program shape with the a/b1 queries —
+    zero-magnitude digits never touch the pipeline, so the pad rows are
+    dead weight only in the gather."""
+    cached = getattr(pk, "_c_query_padded", None)
+    if cached is not None:
+        return cached
+    import jax
+
+    npub1 = pk.n_public + 1
+    ident = CJ.ec_identity(CJ.FQ_OPS, (npub1,))
+    ident = jax.tree_util.tree_map(
+        lambda c, q: jnp.asarray(c, dtype=q.dtype), ident, {k: pk.c_query[k] for k in ident}
+    )
+    from ..ops.msm import _concat_pt
+
+    padded = _concat_pt(CJ.FQ_OPS, ident, pk.c_query, axis=0)
+    dev = jax.tree_util.tree_leaves(pk.c_query)[0].devices()
+    if dev:
+        padded = jax.device_put(padded, next(iter(dev)))
+    pk._c_query_padded = padded
+    return padded
 
 
 def _shard_crs(mesh, pk):
@@ -418,7 +449,6 @@ def _h_stage_mesh_fn(pk, mesh):
         shift_scale_cyclic,
     )
 
-    S = mesh.shape["msm"]
     log_m = pk.domain_log2
     m = 1 << log_m
     npub1 = pk.n_public + 1
@@ -619,7 +649,18 @@ def prove_batch(
         _mark("msm_b2_s", b2_dev)
         b1_dev = _msm_call(pk, "g1", pk.b1_query, w_t, progress)
         _mark("msm_b1_s", b1_dev)
-        c_dev = _msm_call(pk, "g1", pk.c_query, w_t[:, :, n_priv_offset:], progress)
+        import jax as _jax
+
+        if (
+            _jax.default_backend() != "cpu"
+            and os.environ.get("ZKEMAIL_MSM", "sort") != "bucket"
+        ):
+            # full-width c MSM (public scalars zeroed, identity-padded query)
+            # so it reuses the a/b1 compiled program — see _c_query_padded
+            c_scal = w_t.at[:, :, :n_priv_offset].set(0)
+            c_dev = _msm_call(pk, "g1", _c_query_padded(pk), c_scal, progress)
+        else:
+            c_dev = _msm_call(pk, "g1", pk.c_query, w_t[:, :, n_priv_offset:], progress)
         _mark("msm_c_s", c_dev)
 
     out = []

@@ -165,6 +165,16 @@ def write_zkey(pk: ProvingKey, cc=None) -> bytes:
                     struct.pack("<III", mat_id, int(r), int(c)) + _fr_bytes(int(v))
                 )
                 n_coeffs += 1
+        # materialize the virtual instance rows (A row nC+s, col s, value 1)
+        # exactly like snarkjs' zkey builder: they pin max(row)+1 to
+        # nC + nPublic + 1, making read_zkey's constraint-count inference
+        # authoritative even when the trailing real constraints are linear
+        # (empty A/B rows would otherwise undercount, and compute_h's
+        # instance SET would clobber live rows on re-import)
+        n_c = cc.n_constraints
+        for s in range(pk.n_public + 1):
+            parts.append(struct.pack("<III", 0, n_c + s, s) + _fr_bytes(1))
+            n_coeffs += 1
         coeffs = b"".join(parts)
     coeffs = struct.pack("<I", n_coeffs) + coeffs
 

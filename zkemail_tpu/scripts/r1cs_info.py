@@ -32,12 +32,11 @@ def scope_report(cc) -> list[dict]:
     the direct children's inclusive spans, so the self column sums to the
     circuit total without double counting.
     """
-    spans = [(path, c0, c1, s0, s1) for path, c0, c1, s0, s1 in cc.scopes]
     rows = []
-    for path, c0, c1, s0, s1 in spans:
+    for path, c0, c1, s0, s1 in cc.scopes:
         child_c = sum(
             cc1 - cc0
-            for p2, cc0, cc1, _, _ in spans
+            for p2, cc0, cc1, _, _ in cc.scopes
             if p2.startswith(path + "/") and "/" not in p2[len(path) + 1 :]
         )
         rows.append(
