@@ -246,13 +246,54 @@ def ec_select(ops, cond, p, q):
     }
 
 
+def _fused_g1_ok(ops, p, q) -> bool:
+    """True when the fully-fused Pallas EC-add kernel should serve this add:
+    G1, tracing (or on an accelerator), enough lanes to fill a tile, and the
+    Pallas path verified. The composed path costs ~9x in HBM round-trips
+    (measured 425 ns vs ~50 ns per lane-add at 0.5M lanes)."""
+    if ops.name != "fq":
+        return False
+    import jax as _jax
+
+    from . import limbs as _LB
+
+    if not (
+        isinstance(p["x"], _jax.core.Tracer)
+        or isinstance(q["x"], _jax.core.Tracer)
+        or _jax.default_backend() != "cpu"
+    ):
+        return False
+    shape = jnp.broadcast_shapes(p["x"].shape[1:], q["x"].shape[1:])
+    n = 1
+    for d in shape:
+        n *= d
+    return n >= 1024 and _LB._use_pallas()
+
+
+def ec_add_signed(ops, p, q, neg):
+    """p + (neg != 0 ? -q : q) — the MSM inner op, with the negation fused
+    into the Pallas EC-add kernel on TPU (zero extra HBM traffic)."""
+    if _fused_g1_ok(ops, p, q):
+        from ..ops import pallas_field as PF
+
+        return PF.ec_add_g1(p, q, neg)
+    q = ec_select(ops, neg != 0, ec_neg(ops, q), q)
+    return ec_add(ops, p, q)
+
+
 def ec_add(ops, p, q):
     """Complete projective addition, RCB Algorithm 7 (a=0).
 
     Restructured into two *batched* multiplication waves (6 independent
     products each) via ops.mul_pack — one fused CIOS per wave instead of 12
-    sequential multiplies: far smaller scan bodies and full VPU lanes.
+    sequential multiplies: far smaller scan bodies and full VPU lanes. On
+    TPU with G1 batches >= 1024 lanes the whole formula instead runs as ONE
+    fused Pallas kernel (ops/pallas_field.ec_add_g1).
     """
+    if _fused_g1_ok(ops, p, q):
+        from ..ops import pallas_field as PF
+
+        return PF.ec_add_g1(p, q)
     x1, y1, z1 = p["x"], p["y"], p["z"]
     x2, y2, z2 = q["x"], q["y"], q["z"]
     # wave 1: all products of the input coordinates

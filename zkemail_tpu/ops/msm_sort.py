@@ -9,8 +9,7 @@ bucket-accumulation design.
 
 Algorithm — per (proof, window) row with signed c-bit digits:
 
-  1. sort the digit magnitudes (descending) with point-index payload, gather
-     the points in sorted order, negate where the digit was negative;
+  1. sort the digit magnitudes (descending) with point-index payload;
   2. the weighted sum  S = sum_j w_j * Q_j  over a *non-increasing* weight
      vector telescopes through K-element blocks:
 
@@ -27,9 +26,23 @@ Algorithm — per (proof, window) row with signed c-bit digits:
      the corrections cost one small compaction + NB prefix gathers per level.
 
 Total group work is ~ (1 + 1/K + ...) * rows * n complete EC adds — the
-information-theoretic floor for Pippenger bucketing — with zero scatters and
-a carry-free dataflow XLA keeps in place. Larger windows (c=13 vs the bucket
-path's 8) come for free because there is no 2^c-sized table.
+information-theoretic floor for Pippenger bucketing — with zero scatters.
+Larger windows (c=13 vs the bucket path's 8) come for free because there is
+no 2^c-sized table.
+
+TPU execution shape (every alternative here was measured on the tunneled
+v5e; see PERF_NOTES.md):
+  * every >=1024-lane EC add is the ONE fused Pallas kernel
+    (pallas_field.ec_add_g1, ~12 ns/lane-add vs ~425 ns composed);
+  * the K-step block-sum/prefix reductions are lax.scans whose xs are
+    PRE-GATHERED into scan-major layout — a scan whose BODY gathers and
+    feeds the Pallas kernel runs ~30x slower (XLA's while-loop handling of
+    gather -> custom-call defeats its pipelining), while scan-over-
+    pregathered-xs runs at kernel speed; and scans keep the traced graph
+    and the Pallas call-site count small (the fully unrolled variant
+    OOM-killed the tunnel's compile helper);
+  * digit extraction and the reshape+Horner tail are their own cached jits
+    — eagerly they are hundreds of per-op tunnel RPC round-trips.
 """
 
 from __future__ import annotations
@@ -44,7 +57,6 @@ from ..core import curve_jax as CJ
 from ..core import field as F
 from ..utils.scan import maybe_scan
 from .msm import (
-    _concat_pt,
     _concat_pt_list,
     _horner_combine,
     _index_pt,
@@ -57,38 +69,84 @@ L = F.LIMBS
 C_BITS_SORT = int(os.environ.get("ZKEMAIL_MSM_SORT_C", "13"))
 
 
-def _batch_ndim(ops, pt) -> int:
-    leaf = pt["x"][0] if isinstance(pt["x"], tuple) else pt["x"]
-    return leaf.ndim - 1
+def _leaf(pt):
+    return pt["x"][0] if isinstance(pt["x"], tuple) else pt["x"]
 
 
-def _ec_tree_sum(ops, pts):
-    """Reduce the LAST batch axis of a point pytree by pairwise EC adds."""
-    nb_axis = _batch_ndim(ops, pts) - 1
-    leaf = pts["x"][0] if isinstance(pts["x"], tuple) else pts["x"]
+def _concat_last(ops, a, b):
+    out = {}
+    for k in a:
+        if isinstance(a[k], tuple):
+            out[k] = tuple(
+                jnp.concatenate([x, y], axis=-1) for x, y in zip(a[k], b[k])
+            )
+        else:
+            out[k] = jnp.concatenate([a[k], b[k]], axis=-1)
+    return out
+
+
+def _ec_sum_last(ops, pts):
+    """Sum a point batch over its LAST batch axis by pairwise halving:
+    log2(M) wide adds, each ONE fused kernel call on TPU while the lanes
+    stay >= a tile; the small tail costs a handful of composed adds."""
+    leaf = _leaf(pts)
     m = leaf.shape[-1]
     while m > 1:
-        if m % 2:
-            ident = CJ.ec_identity(ops, leaf.shape[1:-1] + (1,))
-            pts = _concat_pt(ops, pts, ident, axis=nb_axis)
-            m += 1
         half = m // 2
         a = _index_pt(ops, pts, (Ellipsis, slice(0, half)))
-        b = _index_pt(ops, pts, (Ellipsis, slice(half, m)))
-        pts = CJ.ec_add(ops, a, b)
-        m = half
-        leaf = pts["x"][0] if isinstance(pts["x"], tuple) else pts["x"]
+        b = _index_pt(ops, pts, (Ellipsis, slice(half, 2 * half)))
+        s = CJ.ec_add(ops, a, b)
+        if m % 2:
+            rest = _index_pt(ops, pts, (Ellipsis, slice(2 * half, m)))
+            s = _concat_last(ops, s, rest)
+            m = half + 1
+        else:
+            m = half
+        pts = s
     return _index_pt(ops, pts, (Ellipsis, 0))
 
 
-def _level_correction(ops, pr, wq, wf, wl, nb: int, nbb: int):
+def _scan_sum(ops, xs, batch, signed_neg=None, outputs=False):
+    """Accumulate a scan-major point batch (leading axis = steps).
+
+    xs: point pytree with coords (steps, L, ...batch); signed_neg: optional
+    (steps, ...batch) int array — step elements with neg != 0 are negated
+    (fused into the Pallas kernel). outputs=True returns the stacked
+    inclusive prefixes instead of just the total."""
+    init = CJ.ec_identity(ops, batch)
+    if signed_neg is None:
+
+        def body(acc, e):
+            acc = CJ.ec_add(ops, acc, e)
+            return acc, (acc if outputs else None)
+
+        return maybe_scan(body, init, xs)
+
+    def body(acc, xe):
+        e, ng = xe
+        acc = CJ.ec_add_signed(ops, acc, e, ng)
+        return acc, (acc if outputs else None)
+
+    return maybe_scan(body, init, (xs, signed_neg))
+
+
+def _gather_scan_major(ops, points, idx):
+    """points batch (n,) gathered at idx (K, ...) -> scan-major coords
+    (K, L, ...): the gather runs ONCE outside the scan (a gather inside a
+    scan body feeding the Pallas kernel is the measured 30x pathology)."""
+    return _map_coords(points, lambda c: jnp.moveaxis(c[:, idx], 1, 0))
+
+
+def _correction(ops, elems_src, wq, wf, wl, nb: int, nbb: int, K: int):
     """Correction term for one telescoping level: sum over global thresholds
     v of the intra-block prefix at v's (unique) boundary block.
 
-    pr: points reshaped (L, R, nblk, K); wq: weights (R, nblk, K);
-    wf/wl: first/last weight per block (R, nblk). Returns point batch (R,).
+    elems_src: ("lazy", points, si, sn) — gather block elements from the
+    shared point set (level 1), or ("mat", pr) — a materialized
+    (L, R, nblk, K) point batch (later levels). wq: weights (R, nblk, K);
+    wf/wl first/last weight per block. Returns point batch (R,).
     """
-    R, nblk, K = wq.shape
+    R, nblk, _ = wq.shape
     flag = (wf != wl).astype(jnp.int32)
     ids = jnp.broadcast_to(jnp.arange(nblk, dtype=jnp.int32)[None], (R, nblk))
     # stable partition: boundary-block ids first, ascending (so compacted
@@ -97,20 +155,26 @@ def _level_correction(ops, pr, wq, wf, wl, nb: int, nbb: int):
     order = order[:, :nbb]  # (R, nbb)
 
     bw = jnp.take_along_axis(wq, order[:, :, None], axis=1)  # (R, nbb, K)
-    bpts = _map_coords(
-        pr, lambda c: jnp.take_along_axis(c, order[None, :, :, None], axis=2)
-    )  # (L, R, nbb, K)
 
-    # materialized intra-block inclusive prefix sums: K unrolled adds (K is
-    # small and static; a lax.scan here would materialize a transposed copy)
-    acc = CJ.ec_identity(ops, (R, nbb))
-    steps = []
-    for j in range(K):
-        acc = CJ.ec_add(ops, acc, _index_pt(ops, bpts, (Ellipsis, j)))
-        steps.append(acc)
-    ips = jax.tree_util.tree_map(
-        lambda *els: jnp.stack(els, axis=-1).reshape(L, R, nbb * K), *steps
-    )
+    # intra-block inclusive prefix sums, materialized via scan outputs over
+    # pre-gathered scan-major elements
+    if elems_src[0] == "lazy":
+        _, points, si, sn = elems_src
+        bi = jnp.take_along_axis(si, order[:, :, None], axis=1)  # (R, nbb, K)
+        bn = jnp.take_along_axis(sn, order[:, :, None], axis=1)
+        xs = _gather_scan_major(ops, points, jnp.moveaxis(bi, 2, 0))
+        _, ips = _scan_sum(
+            ops, xs, (R, nbb), signed_neg=jnp.moveaxis(bn, 2, 0), outputs=True
+        )
+    else:
+        _, pr = elems_src
+        bpts = _map_coords(
+            pr, lambda c: jnp.take_along_axis(c, order[None, :, :, None], axis=2)
+        )  # (L, R, nbb, K)
+        xs = _map_coords(bpts, lambda c: jnp.moveaxis(c, 3, 0))  # (K, L, R, nbb)
+        _, ips = _scan_sum(ops, xs, (R, nbb), outputs=True)
+    # stacked (K, L, R, nbb) -> flat (L, R, nbb*K)
+    ips = _map_coords(ips, lambda c: jnp.moveaxis(c, 0, 3).reshape(L, R, nbb * K))
 
     fl_c = jnp.take_along_axis(flag, order, axis=1)
     wf_c = jnp.where(fl_c == 1, jnp.take_along_axis(wf, order, axis=1), -1)
@@ -132,59 +196,29 @@ def _level_correction(ops, pr, wq, wf, wl, nb: int, nbb: int):
     flat_idx = s_v * K + jnp.maximum(c_v - 1, 0)
     q = _map_coords(ips, lambda c: jnp.take_along_axis(c, flat_idx[None], axis=2))
     q = CJ.ec_select(ops, ~valid, CJ.ec_identity(ops, (R, nb)), q)
-    return _ec_tree_sum(ops, q)
+    return _ec_sum_last(ops, q)
 
 
-def _weighted_sorted(ops, pts, w, nb: int, K: int, cutoff: int):
-    """sum_j w_j * pts_j per row, for weights w (R, M) sorted non-increasing,
-    0 <= w <= nb. pts: point batch (R, M). Returns point batch (R,)."""
+def _final_level(ops, pts, w, nb: int):
+    """Direct threshold-prefix evaluation over the last few elements."""
     R, M = w.shape
-    corr_totals = []
-    while M > cutoff:
-        nblk = -(-M // K)
-        padm = nblk * K - M
-        if padm:
-            w = jnp.pad(w, ((0, 0), (0, padm)))
-            pts = _concat_pt(ops, pts, CJ.ec_identity(ops, (R, padm)), axis=1)
-        pr = _map_coords(pts, lambda c: c.reshape(L, R, nblk, K))
-        # block sums: K unrolled adds over strided slices — no lax.scan, so
-        # the (L, R, M) gathered array is never copied into scan-major order
-        # (a multi-GB transpose at CRS scale)
-        bsum = CJ.ec_identity(ops, (R, nblk))
-        for j in range(K):
-            bsum = CJ.ec_add(ops, bsum, _index_pt(ops, pr, (Ellipsis, j)))
-        wq = w.reshape(R, nblk, K)
-        wf, wl = wq[:, :, 0], wq[:, :, K - 1]
-        nbb = min(nb, nblk)
-        corr_totals.append(_level_correction(ops, pr, wq, wf, wl, nb, nbb))
-        pts, w, M = bsum, wl, nblk
-
-    # final level: direct threshold-prefix evaluation over <= cutoff elements
-    elems = _map_coords(pts, lambda c: jnp.moveaxis(c, 2, 0))  # (M, L, R)
-
-    def fp_body(acc, e):
-        acc = CJ.ec_add(ops, acc, e)
-        return acc, acc
-
-    _, psf = maybe_scan(fp_body, CJ.ec_identity(ops, (R,)), elems)
+    xs = _map_coords(pts, lambda c: jnp.moveaxis(c, 2, 0))  # (M, L, R)
+    _, psf = _scan_sum(ops, xs, (R,), outputs=True)
     psf = _map_coords(psf, lambda c: jnp.moveaxis(c, 0, 2))  # (L, R, M)
     v = jnp.arange(1, nb + 1, dtype=jnp.int32)
     w_asc = w[:, ::-1]
     cnt = M - jax.vmap(lambda a: jnp.searchsorted(a, v, side="left"))(w_asc)
-    valid = cnt > 0
     idxs = jnp.maximum(cnt - 1, 0)
     q = _map_coords(psf, lambda c: jnp.take_along_axis(c, idxs[None], axis=2))
-    q = CJ.ec_select(ops, ~valid, CJ.ec_identity(ops, (R, nb)), q)
-    total = _ec_tree_sum(ops, q)
-    for ct in corr_totals:
-        total = CJ.ec_add(ops, total, ct)
-    return total
+    q = CJ.ec_select(ops, ~(cnt > 0), CJ.ec_identity(ops, (R, nb)), q)
+    return _ec_sum_last(ops, q)
 
 
 def _rows_fn(ops, K: int, cutoff: int, nb: int, points, mag, neg):
-    """One row-chunk: sort digits, gather points, telescoped weighted sum.
+    """One row-chunk: sort digits, pre-gather into scan-major layout, then
+    the telescoped weighted sum.
 
-    points: shared point batch (n,); mag/neg: (R, n) uint8 digit rows.
+    points: shared point batch (n,); mag/neg: (R, n) digit rows.
     Returns per-row partial sums, point batch (R,)."""
     R, n = mag.shape
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (R, n))
@@ -192,10 +226,53 @@ def _rows_fn(ops, K: int, cutoff: int, nb: int, points, mag, neg):
     skey, sidx, sneg = jax.lax.sort(
         (key, idx, neg.astype(jnp.int32)), dimension=1, num_keys=1
     )
-    w_sorted = -skey
-    gathered = _map_coords(points, lambda c: c[:, sidx])  # (L, R, n)
-    signed = CJ.ec_select(ops, sneg == 1, CJ.ec_neg(ops, gathered), gathered)
-    return _weighted_sorted(ops, signed, w_sorted, nb, K, cutoff)
+    w = -skey
+
+    # pad columns to a multiple of K: index 0 with weight 0 — the weight-0
+    # tail is never included in any threshold prefix, so the pointed-at
+    # element is irrelevant
+    M = -(-n // K) * K
+    if M != n:
+        pad = M - n
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        sidx = jnp.pad(sidx, ((0, 0), (0, pad)))
+        sneg = jnp.pad(sneg, ((0, 0), (0, pad)))
+
+    corr_totals = []
+    # ---- level 1: pre-gathered scan-major elements
+    nblk = M // K
+    si = sidx.reshape(R, nblk, K)
+    sn = sneg.reshape(R, nblk, K)
+    wq = w.reshape(R, nblk, K)
+    xs = _gather_scan_major(ops, points, jnp.moveaxis(si, 2, 0))  # (K, L, R, nblk)
+    bsum, _ = _scan_sum(ops, xs, (R, nblk), signed_neg=jnp.moveaxis(sn, 2, 0))
+    wf, wl = wq[:, :, 0], wq[:, :, K - 1]
+    corr_totals.append(
+        _correction(ops, ("lazy", points, si, sn), wq, wf, wl, nb, min(nb, nblk), K)
+    )
+    pts, w, M = bsum, wl, nblk
+
+    # ---- later levels: materialized block sums (tiny relative to n)
+    while M > cutoff:
+        nblk = -(-M // K)
+        padm = nblk * K - M
+        if padm:
+            w = jnp.pad(w, ((0, 0), (0, padm)))
+            pts = _concat_last(ops, pts, CJ.ec_identity(ops, (R, padm)))
+        pr = _map_coords(pts, lambda c: c.reshape(L, R, nblk, K))
+        xs = _map_coords(pr, lambda c: jnp.moveaxis(c, 3, 0))
+        bsum, _ = _scan_sum(ops, xs, (R, nblk))
+        wq = w.reshape(R, nblk, K)
+        wf, wl = wq[:, :, 0], wq[:, :, K - 1]
+        corr_totals.append(
+            _correction(ops, ("mat", pr), wq, wf, wl, nb, min(nb, nblk), K)
+        )
+        pts, w, M = bsum, wl, nblk
+
+    total = _final_level(ops, pts, w, nb)
+    for ct in corr_totals:
+        total = CJ.ec_add(ops, total, ct)
+    return total
 
 
 def _ops_by_name(name: str):
@@ -208,6 +285,37 @@ def _rows_jitted(ops_name: str, K: int, cutoff: int, nb: int):
 
     def f(points, mag, neg):
         return _rows_fn(ops, K, cutoff, nb, points, mag, neg)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _digits_jitted(c_bits: int, n_windows: int):
+    """Digit extraction + row-major reorder as ONE device program — run
+    eagerly on the tunneled TPU this is dozens of per-op RPC round-trips."""
+
+    def f(scalars):
+        _, bsz, n = scalars.shape
+        mag, neg = extract_signed_digits(
+            scalars.reshape(L, bsz * n), c_bits, n_windows
+        )
+        w_eff = bsz * n_windows
+        mag = mag.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
+        neg = neg.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
+        return mag, neg
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_jitted(ops_name: str, bsz: int, n_windows: int, c_bits: int):
+    """reshape + Horner combine as ONE device program (the eager form is
+    ~500 tunnel RPCs: 254 doublings plus adds, one per op)."""
+    ops = _ops_by_name(ops_name)
+
+    def f(total):
+        total = _map_coords(total, lambda c: c.reshape(L, bsz, n_windows))
+        return _horner_combine(ops, total, n_windows, c_bits)
 
     return jax.jit(f)
 
@@ -244,21 +352,31 @@ def msm_sorted(
     nb = 1 << (c_bits - 1)
     cutoff = cutoff or min(nb, 256)
 
-    mag, neg = extract_signed_digits(scalars.reshape(L, bsz * n), c_bits, n_windows)
+    on_accel = jax.default_backend() != "cpu"
     w_eff = bsz * n_windows
-    mag = mag.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
-    neg = neg.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
+    if on_accel:
+        mag, neg = _digits_jitted(c_bits, n_windows)(scalars)
+    else:
+        mag, neg = extract_signed_digits(
+            scalars.reshape(L, bsz * n), c_bits, n_windows
+        )
+        mag = mag.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
+        neg = neg.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
 
-    R = row_chunk or int(
-        os.environ.get("ZKEMAIL_MSM_ROWS", "4" if ops.name == "fq2" else "8")
-    )
+    if row_chunk:
+        R = row_chunk
+    else:
+        R = int(os.environ.get("ZKEMAIL_MSM_ROWS", "0"))
+        if not R:
+            # bound the level-1 pre-gather (3 coords x R x n x 88B for G1,
+            # 2x for G2) to a few GB of HBM alongside the resident CRS
+            R = 4 if ops.name == "fq2" else (8 if n <= (3 << 20) else 4)
     R = min(R, w_eff)
     rows_pad = -(-w_eff // R) * R
     if rows_pad != w_eff:
         mag = jnp.pad(mag, ((0, rows_pad - w_eff), (0, 0)))
         neg = jnp.pad(neg, ((0, rows_pad - w_eff), (0, 0)))
 
-    on_accel = jax.default_backend() != "cpu"
     fn = (
         _rows_jitted(ops.name, k_block, cutoff, nb)
         if on_accel
@@ -275,5 +393,7 @@ def msm_sorted(
     total = outs[0] if len(outs) == 1 else _concat_pt_list(outs)
     if rows_pad != w_eff:
         total = _index_pt(ops, total, (slice(0, w_eff),))
+    if on_accel:
+        return _tail_jitted(ops.name, bsz, n_windows, c_bits)(total)
     total = _map_coords(total, lambda c: c.reshape(L, bsz, n_windows))
     return _horner_combine(ops, total, n_windows, c_bits)

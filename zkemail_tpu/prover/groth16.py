@@ -136,6 +136,77 @@ def _to_host_g1(pt) -> G1:
     return G1(int(CJ.FQ_OPS.to_ints(aff["x"])), int(CJ.FQ_OPS.to_ints(aff["y"])))
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _affine5_jitted():
+    """Batched affine conversion of the five MSM result points in ONE device
+    program. Eager ec_to_affine runs the ~380-multiply inversion chain one
+    op at a time — on the tunneled TPU that is ~380 RPC round-trips PER
+    point, tens of seconds of pure dispatch latency per prove call."""
+    import jax
+
+    def f(a, b2, b1, c, h):
+        return (
+            CJ.ec_to_affine(CJ.FQ_OPS, a),
+            CJ.ec_to_affine(CJ.FQ2_OPS, b2),
+            CJ.ec_to_affine(CJ.FQ_OPS, b1),
+            CJ.ec_to_affine(CJ.FQ_OPS, c),
+            CJ.ec_to_affine(CJ.FQ_OPS, h),
+        )
+
+    return jax.jit(f)
+
+
+def _results_to_host(a_dev, b2_dev, b1_dev, c_dev, h_dev, bsz: int):
+    """(a, b2, b1, c, h) device point batches (B,) -> host point lists."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        affs = (
+            CJ.ec_to_affine(CJ.FQ_OPS, a_dev),
+            CJ.ec_to_affine(CJ.FQ2_OPS, b2_dev),
+            CJ.ec_to_affine(CJ.FQ_OPS, b1_dev),
+            CJ.ec_to_affine(CJ.FQ_OPS, c_dev),
+            CJ.ec_to_affine(CJ.FQ_OPS, h_dev),
+        )
+    else:
+        affs = _affine5_jitted()(a_dev, b2_dev, b1_dev, c_dev, h_dev)
+
+    from ..core.towers import Fq2
+
+    def g1_list(aff):
+        xs = CJ.FQ_OPS.to_ints(np.asarray(aff["x"]))
+        ys = CJ.FQ_OPS.to_ints(np.asarray(aff["y"]))
+        infs = np.asarray(aff["inf"])
+        return [
+            G1.identity() if infs[i] else G1(int(xs[i]), int(ys[i]))
+            for i in range(bsz)
+        ]
+
+    def g2_list(aff):
+        x0 = CJ.FQ_OPS.to_ints(np.asarray(aff["x"][0]))
+        x1 = CJ.FQ_OPS.to_ints(np.asarray(aff["x"][1]))
+        y0 = CJ.FQ_OPS.to_ints(np.asarray(aff["y"][0]))
+        y1 = CJ.FQ_OPS.to_ints(np.asarray(aff["y"][1]))
+        infs = np.asarray(aff["inf"])
+        return [
+            G2.identity()
+            if infs[i]
+            else G2(Fq2(int(x0[i]), int(x1[i])), Fq2(int(y0[i]), int(y1[i])))
+            for i in range(bsz)
+        ]
+
+    return (
+        g1_list(affs[0]),
+        g2_list(affs[1]),
+        g1_list(affs[2]),
+        g1_list(affs[3]),
+        g1_list(affs[4]),
+    )
+
+
 def _to_host_g2(pt) -> G2:
     from ..core.towers import Fq2
 
@@ -219,17 +290,6 @@ def _jit_prove_fn(cc, pk, build, key):
 
         cache[k] = _jax.jit(build(cc, pk))
     return cache[k]
-
-
-def _pt_at(pt, i: int):
-    """Index one element out of a point pytree's batch axis."""
-
-    def f(c):
-        if isinstance(c, tuple):
-            return tuple(x[:, i] for x in c)
-        return c[:, i]
-
-    return {k: f(v) for k, v in pt.items()}
 
 
 def _msm_call(pk, kind: str, q, scal, progress=None):
@@ -668,15 +728,18 @@ def prove_batch(
     # d2h link runs ~3 orders of magnitude slower than h2d, so pulling the
     # full (L, n_signals, B) witness to read n_public columns costs minutes
     w_host = np.asarray(witnesses[:, : pk.n_public + 1, :])
+    a_l, b2_l, b1_l, c_l, h_l = _results_to_host(
+        a_dev, b2_dev, b1_dev, c_dev, h_dev, bsz
+    )
     for i in range(bsz):
         r = rng.randrange(P)
         s = rng.randrange(P)
-        a_pt = _to_host_g1(_pt_at(a_dev, i)).add(pk.alpha_g1).add(pk.delta_g1.mul(r))
-        b_pt = _to_host_g2(_pt_at(b2_dev, i)).add(pk.beta_g2).add(pk.delta_g2.mul(s))
-        b1_pt = _to_host_g1(_pt_at(b1_dev, i)).add(pk.beta_g1).add(pk.delta_g1.mul(s))
+        a_pt = a_l[i].add(pk.alpha_g1).add(pk.delta_g1.mul(r))
+        b_pt = b2_l[i].add(pk.beta_g2).add(pk.delta_g2.mul(s))
+        b1_pt = b1_l[i].add(pk.beta_g1).add(pk.delta_g1.mul(s))
         c_pt = (
-            _to_host_g1(_pt_at(c_dev, i))
-            .add(_to_host_g1(_pt_at(h_dev, i)))
+            c_l[i]
+            .add(h_l[i])
             .add(a_pt.mul(s))
             .add(b1_pt.mul(r))
             .add(pk.delta_g1.mul((-r * s) % P))
