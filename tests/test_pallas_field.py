@@ -97,3 +97,53 @@ def test_ec_add_g1_fused_parity():
     out2 = PF.ec_add_g1_eager_math(p, q, jnp.zeros((n,), jnp.int32))
     for k in ("x", "y", "z"):
         assert (np.asarray(ref2[k]) == np.asarray(out2[k])).all(), k
+
+
+def test_ec_add_g2_fused_parity():
+    """Fused Pallas G2 (Fq2) EC add == composed curve_jax.ec_add over
+    FQ2_OPS, incl. identity lanes, doubling lanes, and signed negation."""
+    import random as _random
+
+    from zkemail_tpu.core import curve_jax as CJ
+    from zkemail_tpu.core.curve import G2
+    from zkemail_tpu.ops.msm import g2_points_from_affine
+
+    rng = _random.Random(11)
+    n = 1100  # exercises tile padding
+    pts_a, pts_b = [], []
+    for i in range(n):
+        pa = G2.generator().mul(rng.randrange(1, 10**9))
+        if i % 7 == 0:
+            pb = G2.identity()
+        elif i % 5 == 0:
+            pb = pa  # doubling case of the complete formula
+        else:
+            pb = G2.generator().mul(rng.randrange(1, 10**9))
+        pts_a.append(pa)
+        pts_b.append(pb)
+
+    def dev(pts):
+        return g2_points_from_affine(
+            [p.x.c0 for p in pts],
+            [p.x.c1 for p in pts],
+            [p.y.c0 for p in pts],
+            [p.y.c1 for p in pts],
+            [p.inf for p in pts],
+        )
+
+    p, q = dev(pts_a), dev(pts_b)
+    neg = jnp.asarray([i % 3 == 0 for i in range(n)], dtype=jnp.int32)
+
+    ops = CJ.FQ2_OPS
+    ref_q = CJ.ec_select(ops, neg != 0, CJ.ec_neg(ops, q), q)
+    ref = CJ.ec_add(ops, p, ref_q)
+    out = PF.ec_add_g2_eager_math(p, q, neg)
+    for k in ("x", "y", "z"):
+        for c in (0, 1):
+            assert (np.asarray(ref[k][c]) == np.asarray(out[k][c])).all(), (k, c)
+    # unsigned form
+    ref2 = CJ.ec_add(ops, p, q)
+    out2 = PF.ec_add_g2_eager_math(p, q, jnp.zeros((n,), jnp.int32))
+    for k in ("x", "y", "z"):
+        for c in (0, 1):
+            assert (np.asarray(ref2[k][c]) == np.asarray(out2[k][c])).all(), (k, c)

@@ -246,24 +246,25 @@ def ec_select(ops, cond, p, q):
     }
 
 
-def _fused_g1_ok(ops, p, q) -> bool:
-    """True when the fully-fused Pallas EC-add kernel should serve this add:
-    G1, tracing (or on an accelerator), enough lanes to fill a tile, and the
+def _fused_ok(ops, p, q) -> bool:
+    """True when a fully-fused Pallas EC-add kernel should serve this add:
+    tracing (or on an accelerator), enough lanes to fill a tile, and the
     Pallas path verified. The composed path costs ~9x in HBM round-trips
-    (measured 425 ns vs ~50 ns per lane-add at 0.5M lanes)."""
-    if ops.name != "fq":
-        return False
+    (measured 425 ns vs ~50 ns per lane-add at 0.5M lanes for G1); the G2
+    kernel fuses the 42 Karatsuba CIOS multiplies the same way."""
     import jax as _jax
 
     from . import limbs as _LB
 
+    px = p["x"][0] if ops.name == "fq2" else p["x"]
+    qx = q["x"][0] if ops.name == "fq2" else q["x"]
     if not (
-        isinstance(p["x"], _jax.core.Tracer)
-        or isinstance(q["x"], _jax.core.Tracer)
+        isinstance(px, _jax.core.Tracer)
+        or isinstance(qx, _jax.core.Tracer)
         or _jax.default_backend() != "cpu"
     ):
         return False
-    shape = jnp.broadcast_shapes(p["x"].shape[1:], q["x"].shape[1:])
+    shape = jnp.broadcast_shapes(px.shape[1:], qx.shape[1:])
     n = 1
     for d in shape:
         n *= d
@@ -273,10 +274,11 @@ def _fused_g1_ok(ops, p, q) -> bool:
 def ec_add_signed(ops, p, q, neg):
     """p + (neg != 0 ? -q : q) — the MSM inner op, with the negation fused
     into the Pallas EC-add kernel on TPU (zero extra HBM traffic)."""
-    if _fused_g1_ok(ops, p, q):
+    if _fused_ok(ops, p, q):
         from ..ops import pallas_field as PF
 
-        return PF.ec_add_g1(p, q, neg)
+        fused = PF.ec_add_g1 if ops.name == "fq" else PF.ec_add_g2
+        return fused(p, q, neg)
     q = ec_select(ops, neg != 0, ec_neg(ops, q), q)
     return ec_add(ops, p, q)
 
@@ -287,13 +289,14 @@ def ec_add(ops, p, q):
     Restructured into two *batched* multiplication waves (6 independent
     products each) via ops.mul_pack — one fused CIOS per wave instead of 12
     sequential multiplies: far smaller scan bodies and full VPU lanes. On
-    TPU with G1 batches >= 1024 lanes the whole formula instead runs as ONE
-    fused Pallas kernel (ops/pallas_field.ec_add_g1).
+    TPU with batches >= 1024 lanes the whole formula instead runs as ONE
+    fused Pallas kernel (ops/pallas_field.ec_add_g1 / ec_add_g2).
     """
-    if _fused_g1_ok(ops, p, q):
+    if _fused_ok(ops, p, q):
         from ..ops import pallas_field as PF
 
-        return PF.ec_add_g1(p, q)
+        fused = PF.ec_add_g1 if ops.name == "fq" else PF.ec_add_g2
+        return fused(p, q)
     x1, y1, z1 = p["x"], p["y"], p["z"]
     x2, y2, z2 = q["x"], q["y"], q["z"]
     # wave 1: all products of the input coordinates

@@ -268,11 +268,12 @@ def _subm(x, y, p_ints):
 
 
 def _mul6_fori(pairs, p_ints, n0inv):
-    """Six independent Montgomery products as ONE stacked fori-loop CIOS.
+    """K independent Montgomery products as ONE stacked fori-loop CIOS.
 
-    pairs: list of 6 (a_limb_list, b_limb_list). Stacking the pairs into a
-    (L, 6, ...) array and looping the 22 CIOS iterations in a fori_loop
-    keeps the kernel body ~6x smaller than six unrolled CIOS bodies —
+    pairs: list of K (a_limb_list, b_limb_list) — K=6 for the two G1 waves,
+    K=18/6/18 for the three G2 Karatsuba waves. Stacking the pairs into a
+    (L, K, ...) array and looping the 22 CIOS iterations in a fori_loop
+    keeps the kernel body ~Kx smaller than K unrolled CIOS bodies —
     load-bearing: each extra kilobyte of kernel MLIR multiplies across the
     pallas call sites shipped through the tunnel compiler, and the fully
     unrolled variant OOM-killed the compile helper."""
@@ -308,8 +309,8 @@ def _mul6_fori(pairs, p_ints, n0inv):
         borrow = (d < 0).astype(jnp.int32)
         s.append(d + (borrow << W))
     keep = borrow.astype(jnp.bool_)
-    res = [jnp.where(keep, out[i], s[i]) for i in range(L)]  # (6, ...) each
-    return [[res[i][j] for i in range(L)] for j in range(6)]
+    res = [jnp.where(keep, out[i], s[i]) for i in range(L)]  # (K, ...) each
+    return [[res[i][j] for i in range(L)] for j in range(len(pairs))]
 
 
 def _ec_add_math(x1, y1, z1, x2, y2, z2, negm, p_ints, n0inv):
@@ -491,3 +492,252 @@ def ec_add_g1(p, q, neg=None, interpret: bool = False):
         negf = jnp.broadcast_to(neg, batch_shape).reshape(n).astype(jnp.int32)
     out = ec_add_g1_flat(p3, q3, negf, interpret)
     return {k: v.reshape((L,) + batch_shape) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# Fused complete EC addition (G2 / Fq2): the b2 query's hot op
+# ---------------------------------------------------------------------------
+#
+# Same RCB complete addition, over Fq2 = Fq[u]/(u^2+1). Each Fq2 product is
+# 3 Fq Montgomery multiplies (Karatsuba), so the 12 formula multiplies plus
+# the two b3-constant multiplies run as THREE stacked fori-loop CIOS waves
+# (18 + 6 + 18 products). The composed Fq2 path costs ~2.7x the G1 field
+# work with an HBM round-trip per intermediate; this kernel does one read
+# of the 12 input coordinate components and one write of 6 outputs.
+# Replaces the wasmcurves G2 MSM role under snarkjs.groth16.fullProve
+# (packages/helpers/src/chunked-zkey.ts:76-91) for the proof's B point.
+
+def _fq2_mul_wave(pairs2, p_ints, n0inv):
+    """K independent Fq2 Karatsuba products via ONE 3K-wide CIOS wave.
+
+    pairs2: [((a0, a1), (b0, b1)), ...] where each component is a limb list.
+    c0 = a0 b0 - a1 b1,  c1 = (a0 + a1)(b0 + b1) - a0 b0 - a1 b1."""
+    fqp = []
+    for (a0, a1), (b0, b1) in pairs2:
+        fqp.append((a0, b0))
+        fqp.append((a1, b1))
+        fqp.append((_addm(a0, a1, p_ints), _addm(b0, b1, p_ints)))
+    res = _mul6_fori(fqp, p_ints, n0inv)
+    out = []
+    for i in range(len(pairs2)):
+        t0, t1, s = res[3 * i], res[3 * i + 1], res[3 * i + 2]
+        c0 = _subm(t0, t1, p_ints)
+        c1 = _subm(_subm(s, t0, p_ints), t1, p_ints)
+        out.append((c0, c1))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _g2_b3_mont_limbs():
+    """Per-limb Python ints of b3 = 3*b2 = 9/(9+u) in Montgomery form."""
+    from ..core.towers import XI
+
+    b3 = XI.inv() * 9
+    out = []
+    for comp in (b3.c0, b3.c1):
+        m = F.FQ.to_mont(int(comp))
+        out.append(tuple((m >> (W * i)) & MASK for i in range(L)))
+    return tuple(out)
+
+
+def _ec_add_g2_math(p1, q2, negm, p_ints, n0inv):
+    """Fused-kernel math on Fq2 limb lists: p1/q2 are ((x0,x1),(y0,y1),
+    (z0,z1)) with each component a list of L same-shape int32 arrays.
+    Mirrors curve_jax.ec_add over FQ2_OPS bit-exactly."""
+    (x1, y1, z1) = p1
+    (x2, y2, z2) = q2
+
+    def f2add(a, b):
+        return (_addm(a[0], b[0], p_ints), _addm(a[1], b[1], p_ints))
+
+    def f2sub(a, b):
+        return (_subm(a[0], b[0], p_ints), _subm(a[1], b[1], p_ints))
+
+    # conditional negate: both components (exact p folds to 0 via cond-sub)
+    zero = [jnp.zeros_like(y2[0][0]) for _ in range(L)]
+    ny0 = _subm(zero, y2[0], p_ints)
+    ny1 = _subm(zero, y2[1], p_ints)
+    y2 = (
+        [jnp.where(negm, ny0[i], y2[0][i]) for i in range(L)],
+        [jnp.where(negm, ny1[i], y2[1][i]) for i in range(L)],
+    )
+
+    t0, t1, t2, m3, m4, m5 = _fq2_mul_wave(
+        [
+            (x1, x2),
+            (y1, y2),
+            (z1, z2),
+            (f2add(x1, y1), f2add(x2, y2)),
+            (f2add(y1, z1), f2add(y2, z2)),
+            (f2add(x1, z1), f2add(x2, z2)),
+        ],
+        p_ints,
+        n0inv,
+    )
+    t3 = f2sub(f2sub(m3, t0), t1)
+    t4 = f2sub(f2sub(m4, t1), t2)
+    f5 = f2sub(f2sub(m5, t0), t2)
+    t0_3 = f2add(f2add(t0, t0), t0)
+    # b3-constant multiplies (b3 is a full Fq2 element for G2, not 9)
+    k0, k1 = _g2_b3_mont_limbs()
+    b3c = (
+        [jnp.full_like(t2[0][0], k0[i]) for i in range(L)],
+        [jnp.full_like(t2[0][0], k1[i]) for i in range(L)],
+    )
+    t2_b3, y3_b3 = _fq2_mul_wave(
+        [(t2, b3c), (f5, b3c)], p_ints, n0inv
+    )
+    z3a = f2add(t1, t2_b3)
+    t1m = f2sub(t1, t2_b3)
+    a1, a2, a3, a4, a5, a6 = _fq2_mul_wave(
+        [
+            (t4, y3_b3),
+            (t3, t1m),
+            (y3_b3, t0_3),
+            (t1m, z3a),
+            (t0_3, t3),
+            (z3a, t4),
+        ],
+        p_ints,
+        n0inv,
+    )
+    x3 = f2sub(a2, a1)
+    y3 = f2add(a4, a3)
+    z3 = f2add(a6, a5)
+    return x3, y3, z3
+
+
+def _make_ec_add_g2_kernel(p_limbs: tuple, n0inv: int):
+    p_ints = [int(x) for x in p_limbs]
+
+    def kernel(
+        x10r, x11r, y10r, y11r, z10r, z11r,
+        x20r, x21r, y20r, y21r, z20r, z21r,
+        negr, ox0r, ox1r, oy0r, oy1r, oz0r, oz1r,
+    ):
+        def rd(ref):
+            return [ref[i] for i in range(L)]
+
+        negm = negr[0] != 0
+        x3, y3, z3 = _ec_add_g2_math(
+            ((rd(x10r), rd(x11r)), (rd(y10r), rd(y11r)), (rd(z10r), rd(z11r))),
+            ((rd(x20r), rd(x21r)), (rd(y20r), rd(y21r)), (rd(z20r), rd(z21r))),
+            negm, p_ints, n0inv,
+        )
+        for i in range(L):
+            ox0r[i] = x3[0][i]
+            ox1r[i] = x3[1][i]
+            oy0r[i] = y3[0][i]
+            oy1r[i] = y3[1][i]
+            oz0r[i] = z3[0][i]
+            oz1r[i] = z3[1][i]
+
+    return kernel
+
+
+def ec_add_g2_eager_math(p, q, neg):
+    """Eager-math mirror of ec_add_g2 for CPU tests: same limb math, no
+    pallas_call. p/q: {"x","y","z"} of (c0, c1) tuples of (L, n) arrays."""
+    fs = LB.FieldSpec.make("Fq")
+    p_ints = [int(x) for x in fs.p_limbs]
+
+    def split2(c):
+        return ([c[0][i] for i in range(L)], [c[1][i] for i in range(L)])
+
+    negm = jnp.asarray(neg) != 0
+    x3, y3, z3 = _ec_add_g2_math(
+        (split2(p["x"]), split2(p["y"]), split2(p["z"])),
+        (split2(q["x"]), split2(q["y"]), split2(q["z"])),
+        negm, p_ints, fs.n0inv,
+    )
+
+    def join(c):
+        return (jnp.stack(c[0], axis=0), jnp.stack(c[1], axis=0))
+
+    return {"x": join(x3), "y": join(y3), "z": join(z3)}
+
+
+@functools.lru_cache(maxsize=None)
+def _ec_add_g2_call(n_tiles: int, interpret: bool):
+    fs = LB.FieldSpec.make("Fq")
+    kernel = _make_ec_add_g2_kernel(fs.p_limbs, fs.n0inv)
+    spec = pl.BlockSpec(
+        (L, _SUB, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    nspec = pl.BlockSpec(
+        (1, _SUB, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((L, n_tiles * _SUB, _LANE), jnp.int32)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(shape,) * 6,
+        grid=(n_tiles,),
+        in_specs=[spec] * 12 + [nspec],
+        out_specs=(spec,) * 6,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n_tiles * _TILE * 42 * (2 * L * L + 6 * L),
+            bytes_accessed=18 * n_tiles * _TILE * L * 4,
+            transcendentals=0,
+        ),
+    )
+    return call if interpret else jax.jit(call)
+
+
+def ec_add_g2_flat(p3, q3, neg, interpret: bool = False):
+    """Fused complete G2 add of flat (L, n) Fq2 coordinate dicts."""
+    n = p3["x"][0].shape[1]
+    n_pad = _pad_tiles(n)
+
+    def prep(c):
+        if n_pad != n:
+            c = jnp.pad(c, ((0, 0), (0, n_pad - n)))
+        return c.reshape(L, n_pad // _LANE, _LANE)
+
+    negp = (
+        jnp.pad(neg.astype(jnp.int32), ((0, n_pad - n),))
+        if n_pad != n
+        else neg.astype(jnp.int32)
+    )
+    neg3 = negp.reshape(1, n_pad // _LANE, _LANE)
+    args = [
+        prep(p3[k][c]) for k in ("x", "y", "z") for c in (0, 1)
+    ] + [prep(q3[k][c]) for k in ("x", "y", "z") for c in (0, 1)]
+    ox0, ox1, oy0, oy1, oz0, oz1 = _ec_add_g2_call(n_pad // _TILE, interpret)(
+        *args, neg3
+    )
+
+    def unp(c):
+        return c.reshape(L, n_pad)[:, :n]
+
+    return {
+        "x": (unp(ox0), unp(ox1)),
+        "y": (unp(oy0), unp(oy1)),
+        "z": (unp(oz0), unp(oz1)),
+    }
+
+
+def ec_add_g2(p, q, neg=None, interpret: bool = False):
+    """Drop-in fused complete add for G2 point pytrees of any batch shape.
+
+    Coordinates are (c0, c1) tuples of (L, ...) limb arrays; neg as in
+    ec_add_g1 (lanes with neg != 0 add the negated q)."""
+    batch_shape = jnp.broadcast_shapes(p["x"][0].shape[1:], q["x"][0].shape[1:])
+    n = 1
+    for d in batch_shape:
+        n *= d
+
+    def flat(c):
+        return jnp.broadcast_to(c, (L,) + batch_shape).reshape(L, n)
+
+    p3 = {k: (flat(p[k][0]), flat(p[k][1])) for k in ("x", "y", "z")}
+    q3 = {k: (flat(q[k][0]), flat(q[k][1])) for k in ("x", "y", "z")}
+    if neg is None:
+        negf = jnp.zeros((n,), jnp.int32)
+    else:
+        negf = jnp.broadcast_to(neg, batch_shape).reshape(n).astype(jnp.int32)
+    out = ec_add_g2_flat(p3, q3, negf, interpret)
+    return {
+        k: tuple(c.reshape((L,) + batch_shape) for c in v)
+        for k, v in out.items()
+    }
