@@ -98,3 +98,29 @@ def test_msm_sorted_zero_vector():
     got = msm_sorted(CJ.FQ_OPS, pts, scal, c_bits=13, k_block=4, cutoff=4)
     aff = CJ.ec_to_affine(CJ.FQ_OPS, got)
     assert bool(np.asarray(aff["inf"]).all())
+
+
+def test_msm_sorted_column_slicing_matches():
+    """Fixed-width column slicing (the one-compiled-program-per-width path,
+    ZKEMAIL_MSM_COLS) == the full-width pipeline == bucket MSM: the sum over
+    disjoint column subsets is the same EC group sum, including a final
+    short slice that pads with reused (weight-0) points."""
+    n, bsz = 96, 2
+    host_pts = [G1.generator().mul(RNG.randrange(1, 10**9)) for _ in range(n)]
+    pts = MSM.points_from_affine_ints(
+        CJ.FQ_OPS, [p.x for p in host_pts], [p.y for p in host_pts]
+    )
+    rows = [[RNG.randrange(P) for _ in range(n)] for _ in range(bsz)]
+    rows[0][3] = 0
+    scal = _scal_arr(rows)
+    base = MSM.msm_multi(CJ.FQ_OPS, pts, scal, chunk=8)
+    # 40-wide slices: 96 = 40 + 40 + 16(short tail, padded)
+    got = msm_sorted(
+        CJ.FQ_OPS, pts, scal, c_bits=13, k_block=4, cutoff=8, col_chunk=40
+    )
+    assert affine_eq(CJ.FQ_OPS, got, base)
+    # slice width >= n degrades to the unsliced path
+    got2 = msm_sorted(
+        CJ.FQ_OPS, pts, scal, c_bits=13, k_block=4, cutoff=8, col_chunk=96
+    )
+    assert affine_eq(CJ.FQ_OPS, got2, base)

@@ -308,6 +308,14 @@ def _digits_jitted(c_bits: int, n_windows: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _colsum_jitted(ops_name: str):
+    """Tiny cached jit adding two per-row partial sums (column-slice merge):
+    eagerly this is ~12 tunnel RPC dispatches per merge."""
+    ops = _ops_by_name(ops_name)
+    return jax.jit(functools.partial(CJ.ec_add, ops))
+
+
+@functools.lru_cache(maxsize=None)
 def _tail_jitted(ops_name: str, bsz: int, n_windows: int, c_bits: int):
     """reshape + Horner combine as ONE device program (the eager form is
     ~500 tunnel RPCs: 254 doublings plus adds, one per op)."""
@@ -328,6 +336,7 @@ def msm_sorted(
     k_block: int = 16,
     row_chunk: int = 0,
     cutoff: int = 0,
+    col_chunk: int = 0,
     progress=None,
 ):
     """Batched MSM with shared bases via the sort/telescope pipeline.
@@ -335,7 +344,15 @@ def msm_sorted(
     Same contract as ops.msm.msm_multi: scalars (L, B, n) standard-form Fr
     limbs, points a projective pytree with batch (n,); returns point batch
     (B,). Dispatched as a sequence of row-chunk programs (each seconds-long —
-    inside the TPU worker's per-program watchdog)."""
+    inside the TPU worker's per-program watchdog).
+
+    col_chunk (or ZKEMAIL_MSM_COLS) slices the POINT axis into fixed-width
+    column blocks, each sorted/telescoped independently and summed: the sum
+    over disjoint column subsets equals the full weighted sum, and every
+    query of every size then reuses ONE compiled rows-program of width
+    col_chunk (XLA:TPU compile time scales with program SIZE — the full-width
+    program at 2^20+ columns costs 8-15+ min to compile, PERF_NOTES.md
+    pathology 4). 0 = no slicing (one full-width program per distinct n)."""
     c_bits = c_bits or C_BITS_SORT
     if scalars.ndim != 3 or scalars.shape[0] != L:
         raise ValueError(
@@ -382,10 +399,46 @@ def msm_sorted(
         if on_accel
         else functools.partial(_rows_fn, ops, k_block, cutoff, nb)
     )
+    col_chunk = col_chunk or int(os.environ.get("ZKEMAIL_MSM_COLS", "0"))
+    if col_chunk and col_chunk < n:
+        n_cols_pad = -(-n // col_chunk) * col_chunk
+        if n_cols_pad != n:
+            # digit-0 padding: weight-0 columns never enter any threshold
+            # prefix; the padded POINT columns reuse column 0 (irrelevant)
+            mag = jnp.pad(mag, ((0, 0), (0, n_cols_pad - n)))
+            neg = jnp.pad(neg, ((0, 0), (0, n_cols_pad - n)))
+    else:
+        col_chunk = n
+        n_cols_pad = n
+    n_col_calls = n_cols_pad // col_chunk
+
     outs = []
     n_calls = rows_pad // R
     for ci in range(n_calls):
-        out = fn(points, mag[ci * R : (ci + 1) * R], neg[ci * R : (ci + 1) * R])
+        parts = []
+        for cj in range(n_col_calls):
+            s0 = cj * col_chunk
+            s1 = min(s0 + col_chunk, n)
+            pts_j = (
+                points
+                if n_col_calls == 1
+                else _index_pt(ops, points, (slice(s0, s1),))
+            )
+            if s1 - s0 < col_chunk:  # final slice: pad points to the shape
+                pad = col_chunk - (s1 - s0)
+                pts_j = _concat_last(
+                    ops, pts_j, _index_pt(ops, points, (slice(0, pad),))
+                )
+            parts.append(
+                fn(
+                    pts_j,
+                    mag[ci * R : (ci + 1) * R, s0 : s0 + col_chunk],
+                    neg[ci * R : (ci + 1) * R, s0 : s0 + col_chunk],
+                )
+            )
+        out = parts[0]
+        for pt in parts[1:]:
+            out = _colsum_jitted(ops.name)(out, pt) if on_accel else CJ.ec_add(ops, out, pt)
         if progress is not None:
             jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
             progress(f"msm rows {ci + 1}/{n_calls}")
