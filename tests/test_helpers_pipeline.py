@@ -238,3 +238,41 @@ def test_legacy_ecdsa_build_input():
     assert recompose(inp["s"]) == s_v
     assert recompose(inp["msghash"]) == h
     assert int(inp["r"][0]) == r_v & mask  # little-endian limb order
+
+
+def test_ed25519_dkim_host_verification():
+    """RFC 8463 ed25519-sha256 host-side verification parity (mailauth
+    tools.ts:266-376, dkim-verifier.ts:272-277): the signature verifies and
+    is reported valid-but-unprovable; the circuit input bridge rejects it
+    with a clear error; a tampered message fails with EBADSIG."""
+    from zkemail_tpu.helpers.dkim import (
+        DKIMError,
+        verify_dkim_signature,
+    )
+    from zkemail_tpu.helpers.dns import parse_dkim_txt
+    from zkemail_tpu.helpers.input_gen import (
+        generate_email_verifier_inputs_from_dkim,
+    )
+    from zkemail_tpu.helpers.testkit import LocalEd25519DKIMSigner
+
+    signer = LocalEd25519DKIMSigner()
+    eml = signer.sign_email(subject="ed25519 parity")
+    res = verify_dkim_signature(eml, signer.resolver())
+    assert res.algo == "ed25519-sha256"
+    assert res.circuit_provable is False
+    assert res.status["result"] == "pass"
+    assert res.public_key[0] == "ed25519"
+    assert res.modulus_length == 256
+
+    # the circuit cannot prove it: the bridge must say so, loudly
+    with pytest.raises(ValueError, match="cannot prove"):
+        generate_email_verifier_inputs_from_dkim(res)
+
+    # tamper -> EBADSIG (body hash guarded separately)
+    bad = eml.replace(b"ed25519 parity", b"ed25519 parityX")
+    with pytest.raises(DKIMError):
+        verify_dkim_signature(bad, signer.resolver())
+
+    # the published TXT record parses back to the same raw key
+    parsed = parse_dkim_txt(signer.dns_txt_record())
+    assert parsed == signer.public_key

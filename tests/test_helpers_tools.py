@@ -154,9 +154,18 @@ def test_key_record_error_taxonomy():
     with pytest.raises(DKIMError) as exc:
         parse_dkim_txt("v=DKIM2; k=rsa; p=AAAA", strict=True)
     assert exc.value.code == "EINVALIDVER"
+    # ed25519 keys now PARSE (RFC 8463 raw 32-byte form) — host-side
+    # verification covers them; malformed ed25519 material is a VALUE error
+    import base64 as _b64
+
+    raw32 = _b64.b64encode(bytes(range(32))).decode()
+    assert parse_dkim_txt(f"v=DKIM1; k=ed25519; p={raw32}") == (
+        "ed25519",
+        bytes(range(32)),
+    )
     with pytest.raises(DKIMError) as exc:
         parse_dkim_txt("v=DKIM1; k=ed25519; p=AAAA", strict=True)
-    assert exc.value.code == "EINVALIDTYPE"
+    assert exc.value.code == "EINVALIDVAL"
     with pytest.raises(DKIMError) as exc:
         parse_dkim_txt("v=DKIM1; k=dsa; p=AAAA", strict=True)
     assert exc.value.code == "EINVALIDTYPE"

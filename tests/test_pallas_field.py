@@ -2,10 +2,12 @@
 path and python-int ground truth (interpret mode; compiled path exercised on
 TPU by bench.py)."""
 
+import os
 import random
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from zkemail_tpu.core import field as F
 from zkemail_tpu.core import limbs as LB
@@ -97,6 +99,88 @@ def test_ec_add_g1_fused_parity():
     out2 = PF.ec_add_g1_eager_math(p, q, jnp.zeros((n,), jnp.int32))
     for k in ("x", "y", "z"):
         assert (np.asarray(ref2[k]) == np.asarray(out2[k])).all(), k
+
+
+_SLOW_KERNELS = pytest.mark.skipif(
+    os.environ.get("ZKEMAIL_SLOW_KERNEL_TESTS") != "1",
+    reason="interpret-mode EC kernels take minutes (CI `kernels` job runs them)",
+)
+
+
+@_SLOW_KERNELS
+def test_ec_add_g1_pallas_call_interpret():
+    """Exercise the fused G1 kernel's pallas_call plumbing (7 inputs, 3
+    outputs, BlockSpecs, grid) in interpret mode over one padded tile — a
+    wiring mistake would otherwise surface only on a live TPU (ADVICE r4).
+
+    ~4 min: interpret mode dispatches each fori-loop iteration eagerly;
+    gated like the slow mesh tests. The live-TPU compiled path is verified
+    by the MSM equality tests and every bench run."""
+    import random as _random
+
+    from zkemail_tpu.core import curve_jax as CJ
+    from zkemail_tpu.core.curve import G1
+    from zkemail_tpu.ops.msm import points_from_affine_ints
+
+    rng = _random.Random(21)
+    n = 40  # < one 1024-lane tile: exercises the pad path
+    pts_a = [G1.generator().mul(rng.randrange(1, 10**9)) for _ in range(n)]
+    pts_b = [G1.generator().mul(rng.randrange(1, 10**9)) for _ in range(n)]
+    pts_b[0] = G1.identity()
+    pts_b[3] = pts_a[3]
+
+    def dev(pts):
+        return points_from_affine_ints(
+            CJ.FQ_OPS,
+            [0 if p.inf else p.x for p in pts],
+            [1 if p.inf else p.y for p in pts],
+            [p.inf for p in pts],
+        )
+
+    p, q = dev(pts_a), dev(pts_b)
+    neg = jnp.asarray([i % 3 == 0 for i in range(n)], dtype=jnp.int32)
+    ref_q = CJ.ec_select(CJ.FQ_OPS, neg != 0, CJ.ec_neg(CJ.FQ_OPS, q), q)
+    ref = CJ.ec_add(CJ.FQ_OPS, p, ref_q)
+    out = PF.ec_add_g1(p, q, neg, interpret=True)
+    for k in ("x", "y", "z"):
+        assert (np.asarray(ref[k]) == np.asarray(out[k])).all(), k
+
+
+@_SLOW_KERNELS
+def test_ec_add_g2_pallas_call_interpret():
+    """Same for the G2 kernel's plumbing: 12 coordinate inputs + neg spec +
+    6 outputs through pallas_call in interpret mode (ADVICE r4)."""
+    import random as _random
+
+    from zkemail_tpu.core import curve_jax as CJ
+    from zkemail_tpu.core.curve import G2
+    from zkemail_tpu.ops.msm import g2_points_from_affine
+
+    rng = _random.Random(22)
+    n = 24
+    pts_a = [G2.generator().mul(rng.randrange(1, 10**9)) for _ in range(n)]
+    pts_b = [G2.generator().mul(rng.randrange(1, 10**9)) for _ in range(n)]
+    pts_b[0] = G2.identity()
+    pts_b[3] = pts_a[3]
+
+    def dev(pts):
+        return g2_points_from_affine(
+            [p.x.c0 for p in pts],
+            [p.x.c1 for p in pts],
+            [p.y.c0 for p in pts],
+            [p.y.c1 for p in pts],
+            [p.inf for p in pts],
+        )
+
+    p, q = dev(pts_a), dev(pts_b)
+    neg = jnp.asarray([i % 3 == 0 for i in range(n)], dtype=jnp.int32)
+    ops = CJ.FQ2_OPS
+    ref_q = CJ.ec_select(ops, neg != 0, CJ.ec_neg(ops, q), q)
+    ref = CJ.ec_add(ops, p, ref_q)
+    out = PF.ec_add_g2(p, q, neg, interpret=True)
+    for k in ("x", "y", "z"):
+        for c in (0, 1):
+            assert (np.asarray(ref[k][c]) == np.asarray(out[k][c])).all(), (k, c)
 
 
 def test_ec_add_g2_fused_parity():

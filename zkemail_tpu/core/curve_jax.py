@@ -13,6 +13,7 @@ Identity is (0, 1, 0).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import field as F
 from . import limbs as LB
@@ -271,10 +272,33 @@ def _fused_ok(ops, p, q) -> bool:
     return n >= 1024 and _LB._use_pallas()
 
 
+_G2_FUSED_STATE = {"checked": False, "ok": False}
+
+
+def _g2_fused_ok() -> bool:
+    """One-time smoke compile of the fused G2 kernel (mirrors
+    limbs._use_pallas for mont_mul): its 18-product CIOS waves hold ~3x the
+    G1 kernel's VMEM working set, so a TPU generation where Mosaic cannot
+    fit it degrades to the composed Fq2 path instead of crashing the first
+    MSM mid-prove (ADVICE r4)."""
+    if not _G2_FUSED_STATE["checked"]:
+        _G2_FUSED_STATE["checked"] = True
+        try:
+            from ..ops import pallas_field as PF
+
+            ident = ec_identity(FQ2_OPS, (1024,))
+            out = PF.ec_add_g2(ident, ident)
+            np.asarray(out["x"][0])
+            _G2_FUSED_STATE["ok"] = True
+        except Exception:
+            _G2_FUSED_STATE["ok"] = False
+    return _G2_FUSED_STATE["ok"]
+
+
 def ec_add_signed(ops, p, q, neg):
     """p + (neg != 0 ? -q : q) — the MSM inner op, with the negation fused
     into the Pallas EC-add kernel on TPU (zero extra HBM traffic)."""
-    if _fused_ok(ops, p, q):
+    if _fused_ok(ops, p, q) and (ops.name == "fq" or _g2_fused_ok()):
         from ..ops import pallas_field as PF
 
         fused = PF.ec_add_g1 if ops.name == "fq" else PF.ec_add_g2
@@ -292,7 +316,7 @@ def ec_add(ops, p, q):
     TPU with batches >= 1024 lanes the whole formula instead runs as ONE
     fused Pallas kernel (ops/pallas_field.ec_add_g1 / ec_add_g2).
     """
-    if _fused_ok(ops, p, q):
+    if _fused_ok(ops, p, q) and (ops.name == "fq" or _g2_fused_ok()):
         from ..ops import pallas_field as PF
 
         fused = PF.ec_add_g1 if ops.name == "fq" else PF.ec_add_g2

@@ -158,7 +158,7 @@ def parse_tags(value: bytes) -> dict[str, str]:
 @dataclass
 class DKIMVerificationResult:
     signature: int
-    public_key: tuple  # (n, e)
+    public_key: tuple  # (n, e) for RSA; ("ed25519", raw_32_bytes) otherwise
     headers: bytes  # canonicalized signed-header buffer (circuit input)
     body: bytes  # canonicalized body (circuit input)
     body_hash: str  # base64 bh= tag
@@ -170,6 +170,10 @@ class DKIMVerificationResult:
     applied_sanitization: str | None = None
     status: dict = field(default_factory=dict)
     auth_results: str | None = None  # Authentication-Results row (tools.ts:416)
+    # host verification covers rsa-sha256 AND ed25519-sha256 (RFC 8463,
+    # mirroring mailauth tools.ts:266-376); only rsa-sha256 signatures can
+    # feed the RSA-65537 circuit, so ed25519 results are valid-but-unprovable
+    circuit_provable: bool = True
 
 
 class DKIMError(Exception):
@@ -226,6 +230,22 @@ def build_signature_base(
     else:
         chunks.append(canon_header_simple(stripped))
     return b"\r\n".join(chunks)
+
+
+def ed25519_sha256_verify(pub_raw: bytes, sig: bytes, message: bytes) -> bool:
+    """RFC 8463 ed25519-sha256: PureEdDSA over the SHA-256 digest of the
+    canonicalized signature base (mailauth tools.ts:266-376 key handling;
+    dkim-verifier.ts:272-277 selects the digest for the ed25519 path)."""
+    from cryptography.exceptions import InvalidSignature
+    from cryptography.hazmat.primitives.asymmetric.ed25519 import Ed25519PublicKey
+
+    try:
+        Ed25519PublicKey.from_public_bytes(pub_raw).verify(sig, sha256(message))
+        return True
+    except InvalidSignature:
+        return False
+    except Exception:
+        return False
 
 
 def rsa_sha256_verify(n: int, e: int, signature: int, message: bytes) -> bool:
@@ -334,7 +354,10 @@ def _verify_one(
         validate_algorithm(algo)
     except ValueError as exc:
         raise DKIMError("EINVALIDALGO", str(exc)) from exc
-    if algo != "rsa-sha256":  # the circuit proves rsa-sha256 only
+    if algo not in ("rsa-sha256", "ed25519-sha256"):
+        # host verification parity with mailauth: rsa-sha256 and RFC 8463
+        # ed25519-sha256 both verify (the circuit itself proves RSA only —
+        # ed25519 results carry circuit_provable=False)
         raise DKIMError("EINVALIDALGO", f"unsupported algorithm {algo}")
     canon = tags.get("c", "simple/simple")
     parts = canon.split("/")
@@ -356,23 +379,41 @@ def _verify_one(
     keys = resolver(d, s)
     if not keys:
         raise DKIMError("ENODATA", f"no DKIM key found for {s}._domainkey.{d}")
-    for n, e in keys:
+
+    def result(public_key, modulus_length, provable):
+        return DKIMVerificationResult(
+            signature=signature,
+            public_key=public_key,
+            headers=base,
+            body=body_canonical,
+            body_hash=bh_expected,
+            signing_domain=d,
+            selector=s,
+            algo=algo,
+            format=canon,
+            modulus_length=modulus_length,
+            status={"result": "pass", "aligned": d},
+            circuit_provable=provable,
+        )
+
+    if algo == "ed25519-sha256":
+        sig_bytes = base64.b64decode(sig_b64 + "=" * (-len(sig_b64) % 4))
+        for key in keys:
+            if not (isinstance(key[0], str) and key[0] == "ed25519"):
+                continue  # key-type/algorithm mismatch: try the next key
+            if ed25519_sha256_verify(key[1], sig_bytes, base):
+                # valid mail, but the RSA-65537 circuit cannot prove it
+                return result(key, 256, provable=False)
+        raise DKIMError("EBADSIG", "bad signature")
+
+    for key in keys:
+        if isinstance(key[0], str):
+            continue  # ed25519 key cannot check an rsa-sha256 signature
+        n, e = key
         if n.bit_length() < 1024:
             raise DKIMError("ESHORTKEY", "key too short")
         if rsa_sha256_verify(n, e, signature, base):
-            return DKIMVerificationResult(
-                signature=signature,
-                public_key=(n, e),
-                headers=base,
-                body=body_canonical,
-                body_hash=bh_expected,
-                signing_domain=d,
-                selector=s,
-                algo=algo,
-                format=canon,
-                modulus_length=n.bit_length(),
-                status={"result": "pass", "aligned": d},
-            )
+            return result((n, e), n.bit_length(), provable=True)
     raise DKIMError("EBADSIG", "bad signature")
 
 

@@ -29,12 +29,17 @@ ARCHIVE_URL = "https://archive.prove.email/api/key?domain={domain}"
 def parse_dkim_txt(txt: str, strict: bool = False):
     """Parse a DKIM TXT record: k=rsa; p=<base64 SubjectPublicKeyInfo>.
 
+    RSA records return (n, e) ints; ed25519 records (RFC 8463: p= is the
+    raw 32-byte public key, though SPKI-wrapped keys occur in the wild)
+    return ("ed25519", raw_32_bytes) — host verification supports both key
+    types like the reference's mailauth (tools.ts:266-376), and the
+    RSA-only restriction is applied downstream by the CIRCUIT input
+    bridge, which reports ed25519-verified mail as unprovable.
+
     strict=True raises the reference's key-record error taxonomy
     (mailauth tools.ts processPublicKey:301-387) instead of returning None:
     EINVALIDVAL (missing/undecodable p=), EINVALIDVER (v= present and not
-    DKIM1), EINVALIDTYPE (k= not a known type, or the key material is not
-    RSA — the circuit proves RSA only, so ed25519 keys are rejected with
-    the type code, not a parse accident).
+    DKIM1), EINVALIDTYPE (k= not a known type).
     """
     from .dkim import DKIMError
 
@@ -54,18 +59,34 @@ def parse_dkim_txt(txt: str, strict: bool = False):
     ktype = tags.get("k", "rsa").strip().lower()
     if ktype not in ("rsa", "ed25519"):
         return fail("EINVALIDTYPE", f"unknown key type {ktype!r}")
-    if ktype == "ed25519":
-        return fail("EINVALIDTYPE", "ed25519 key (circuit proves rsa-sha256 only)")
     p = tags.get("p", "")
     if not p:
         return fail("EINVALIDVAL", "missing key value")
     try:
         der = base64.b64decode(re.sub(r"\s+", "", p) + "==")
+        if ktype == "ed25519":
+            return ("ed25519", _ed25519_raw_key(der))
         return _rsa_from_spki(der)
     except DKIMError:
         raise
     except Exception as exc:  # bad base64 / DER
         return fail("EINVALIDVAL", f"invalid public key: {exc}")
+
+
+def _ed25519_raw_key(blob: bytes) -> bytes:
+    """Raw 32-byte Ed25519 public key from p= material (RFC 8463 raw form,
+    or an SPKI wrapper as some DNS operators publish)."""
+    if len(blob) == 32:
+        return blob
+    from cryptography.hazmat.primitives.asymmetric.ed25519 import Ed25519PublicKey
+    from cryptography.hazmat.primitives.serialization import (
+        Encoding, PublicFormat, load_der_public_key,
+    )
+
+    key = load_der_public_key(blob)
+    if not isinstance(key, Ed25519PublicKey):
+        raise ValueError(f"k=ed25519 but key material is {type(key).__name__}")
+    return key.public_bytes(Encoding.Raw, PublicFormat.Raw)
 
 
 def _rsa_from_spki(der: bytes) -> tuple[int, int]:

@@ -267,7 +267,7 @@ def _subm(x, y, p_ints):
     return [jnp.where(keep, out[i], s[i]) for i in range(L)]
 
 
-def _mul6_fori(pairs, p_ints, n0inv):
+def _mul6_fori(pairs, p_ints, n0inv, pcol=None, a_scratch=None):
     """K independent Montgomery products as ONE stacked fori-loop CIOS.
 
     pairs: list of K (a_limb_list, b_limb_list) — K=6 for the two G1 waves,
@@ -276,15 +276,40 @@ def _mul6_fori(pairs, p_ints, n0inv):
     keeps the kernel body ~Kx smaller than K unrolled CIOS bodies —
     load-bearing: each extra kilobyte of kernel MLIR multiplies across the
     pallas call sites shipped through the tunnel compiler, and the fully
-    unrolled variant OOM-killed the compile helper."""
+    unrolled variant OOM-killed the compile helper.
+
+    pcol: the modulus limb column as an ARRAY (L, ..., LANE). Inside a
+    pallas kernel it MUST come from a kernel input ref (pallas rejects
+    kernels that capture non-scalar constants); None (eager/test paths
+    outside pallas) builds it from p_ints.
+
+    a_scratch: a VMEM scratch REF of shape (L, >=K, SUB, LANE). Inside a
+    pallas kernel the loop's per-limb read of the stacked operand must be a
+    dynamic REF read (a_ref[pl.ds(i, 1)], the proven mont-kernel pattern) —
+    Mosaic has no dynamic_slice on VALUES — so the stacked a is staged
+    through this scratch once before the loop. None (eager paths) uses the
+    plain value dynamic_slice."""
     a = jnp.stack([jnp.stack(pa, axis=0) for pa, _ in pairs], axis=1)  # (L, 6, ...)
     b = jnp.stack([jnp.stack(pb, axis=0) for _, pb in pairs], axis=1)
-    pcol = jnp.asarray(np.array(p_ints, np.int32)).reshape(
-        (L,) + (1,) * (a.ndim - 1)
-    )
+    K = a.shape[1]
+    if pcol is None:
+        pcol = jnp.asarray(np.array(p_ints, np.int32)).reshape(
+            (L,) + (1,) * (a.ndim - 1)
+        )
+    else:
+        pcol = pcol.reshape((L,) + (1,) * (a.ndim - 2) + (pcol.shape[-1],))
+
+    if a_scratch is None:
+        def get_ai(i):
+            return jax.lax.dynamic_slice_in_dim(a, i, 1, axis=0)  # (1, K, ...)
+    else:
+        a_scratch[:, :K] = a
+
+        def get_ai(i):
+            return a_scratch[pl.ds(i, 1), :K]
 
     def body(i, t):
-        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=0)  # (1, 6, ...)
+        ai = get_ai(i)
         t = jnp.concatenate([t[:L] + ai * b, t[L:]], axis=0)
         m = ((t[0] & MASK) * (n0inv & MASK)) & MASK
         t = jnp.concatenate([t[:L] + m[None] * pcol, t[L:]], axis=0)
@@ -313,7 +338,8 @@ def _mul6_fori(pairs, p_ints, n0inv):
     return [[res[i][j] for i in range(L)] for j in range(len(pairs))]
 
 
-def _ec_add_math(x1, y1, z1, x2, y2, z2, negm, p_ints, n0inv):
+def _ec_add_math(x1, y1, z1, x2, y2, z2, negm, p_ints, n0inv, pcol=None,
+                 a_scratch=None):
     """The fused kernel's math on limb LISTS of same-shape int32 arrays —
     pure jnp (also runs eagerly for CPU tests). The 12 multiplies run as
     TWO stacked fori-loop waves of six (_mul6_fori).
@@ -347,6 +373,8 @@ def _ec_add_math(x1, y1, z1, x2, y2, z2, negm, p_ints, n0inv):
         ],
         p_ints,
         n0inv,
+        pcol,
+        a_scratch,
     )
     t3 = sub(sub(m3, t0), t1)
     t4 = sub(sub(m4, t1), t2)
@@ -367,6 +395,8 @@ def _ec_add_math(x1, y1, z1, x2, y2, z2, negm, p_ints, n0inv):
         ],
         p_ints,
         n0inv,
+        pcol,
+        a_scratch,
     )
     x3 = sub(a2, a1)
     y3 = add(a4, a3)
@@ -377,14 +407,14 @@ def _ec_add_math(x1, y1, z1, x2, y2, z2, negm, p_ints, n0inv):
 def _make_ec_add_kernel(p_limbs: tuple, n0inv: int):
     p_ints = [int(x) for x in p_limbs]
 
-    def kernel(x1r, y1r, z1r, x2r, y2r, z2r, negr, oxr, oyr, ozr):
+    def kernel(x1r, y1r, z1r, x2r, y2r, z2r, negr, pr, oxr, oyr, ozr, sref):
         def rd(ref):
             return [ref[i] for i in range(L)]
 
         negm = negr[0] != 0  # (SUB, LANE) bool
         x3, y3, z3 = _ec_add_math(
             rd(x1r), rd(y1r), rd(z1r), rd(x2r), rd(y2r), rd(z2r),
-            negm, p_ints, n0inv,
+            negm, p_ints, n0inv, pcol=pr[...], a_scratch=sref,
         )
         for i in range(L):
             oxr[i] = x3[i]
@@ -426,13 +456,17 @@ def _ec_add_call(n_tiles: int, interpret: bool):
     nspec = pl.BlockSpec(
         (1, _SUB, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
+    p_spec = pl.BlockSpec(
+        (L, 1, _LANE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
     shape = jax.ShapeDtypeStruct((L, n_tiles * _SUB, _LANE), jnp.int32)
     call = pl.pallas_call(
         kernel,
         out_shape=(shape, shape, shape),
         grid=(n_tiles,),
-        in_specs=[spec] * 6 + [nspec],
+        in_specs=[spec] * 6 + [nspec, p_spec],
         out_specs=(spec, spec, spec),
+        scratch_shapes=[pltpu.VMEM((L, 6, _SUB, _LANE), jnp.int32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n_tiles * _TILE * 12 * (2 * L * L + 6 * L),
@@ -442,7 +476,17 @@ def _ec_add_call(n_tiles: int, interpret: bool):
     )
     # interpret mode (CPU tests) runs the kernel eagerly: jitting it would
     # hand XLA:CPU the ~4500-op unrolled body, a multi-minute compile
-    return call if interpret else jax.jit(call)
+    jitted = call if interpret else jax.jit(call)
+
+    def run(*args):
+        # modulus limbs as a kernel INPUT — pallas rejects kernels that
+        # capture non-scalar constants (same pattern as _mont_mul_call)
+        p_arr = jnp.broadcast_to(
+            jnp.asarray(fs.np_p).reshape(L, 1, 1), (L, 1, _LANE)
+        )
+        return jitted(*args, p_arr)
+
+    return run
 
 
 def ec_add_g1_flat(p3, q3, neg, interpret: bool = False):
@@ -507,7 +551,7 @@ def ec_add_g1(p, q, neg=None, interpret: bool = False):
 # Replaces the wasmcurves G2 MSM role under snarkjs.groth16.fullProve
 # (packages/helpers/src/chunked-zkey.ts:76-91) for the proof's B point.
 
-def _fq2_mul_wave(pairs2, p_ints, n0inv):
+def _fq2_mul_wave(pairs2, p_ints, n0inv, pcol=None, a_scratch=None):
     """K independent Fq2 Karatsuba products via ONE 3K-wide CIOS wave.
 
     pairs2: [((a0, a1), (b0, b1)), ...] where each component is a limb list.
@@ -517,7 +561,7 @@ def _fq2_mul_wave(pairs2, p_ints, n0inv):
         fqp.append((a0, b0))
         fqp.append((a1, b1))
         fqp.append((_addm(a0, a1, p_ints), _addm(b0, b1, p_ints)))
-    res = _mul6_fori(fqp, p_ints, n0inv)
+    res = _mul6_fori(fqp, p_ints, n0inv, pcol, a_scratch)
     out = []
     for i in range(len(pairs2)):
         t0, t1, s = res[3 * i], res[3 * i + 1], res[3 * i + 2]
@@ -540,7 +584,7 @@ def _g2_b3_mont_limbs():
     return tuple(out)
 
 
-def _ec_add_g2_math(p1, q2, negm, p_ints, n0inv):
+def _ec_add_g2_math(p1, q2, negm, p_ints, n0inv, pcol=None, a_scratch=None):
     """Fused-kernel math on Fq2 limb lists: p1/q2 are ((x0,x1),(y0,y1),
     (z0,z1)) with each component a list of L same-shape int32 arrays.
     Mirrors curve_jax.ec_add over FQ2_OPS bit-exactly."""
@@ -573,6 +617,8 @@ def _ec_add_g2_math(p1, q2, negm, p_ints, n0inv):
         ],
         p_ints,
         n0inv,
+        pcol,
+        a_scratch,
     )
     t3 = f2sub(f2sub(m3, t0), t1)
     t4 = f2sub(f2sub(m4, t1), t2)
@@ -585,7 +631,7 @@ def _ec_add_g2_math(p1, q2, negm, p_ints, n0inv):
         [jnp.full_like(t2[0][0], k1[i]) for i in range(L)],
     )
     t2_b3, y3_b3 = _fq2_mul_wave(
-        [(t2, b3c), (f5, b3c)], p_ints, n0inv
+        [(t2, b3c), (f5, b3c)], p_ints, n0inv, pcol, a_scratch
     )
     z3a = f2add(t1, t2_b3)
     t1m = f2sub(t1, t2_b3)
@@ -600,6 +646,8 @@ def _ec_add_g2_math(p1, q2, negm, p_ints, n0inv):
         ],
         p_ints,
         n0inv,
+        pcol,
+        a_scratch,
     )
     x3 = f2sub(a2, a1)
     y3 = f2add(a4, a3)
@@ -613,7 +661,7 @@ def _make_ec_add_g2_kernel(p_limbs: tuple, n0inv: int):
     def kernel(
         x10r, x11r, y10r, y11r, z10r, z11r,
         x20r, x21r, y20r, y21r, z20r, z21r,
-        negr, ox0r, ox1r, oy0r, oy1r, oz0r, oz1r,
+        negr, pr, ox0r, ox1r, oy0r, oy1r, oz0r, oz1r, sref,
     ):
         def rd(ref):
             return [ref[i] for i in range(L)]
@@ -622,7 +670,7 @@ def _make_ec_add_g2_kernel(p_limbs: tuple, n0inv: int):
         x3, y3, z3 = _ec_add_g2_math(
             ((rd(x10r), rd(x11r)), (rd(y10r), rd(y11r)), (rd(z10r), rd(z11r))),
             ((rd(x20r), rd(x21r)), (rd(y20r), rd(y21r)), (rd(z20r), rd(z21r))),
-            negm, p_ints, n0inv,
+            negm, p_ints, n0inv, pcol=pr[...], a_scratch=sref,
         )
         for i in range(L):
             ox0r[i] = x3[0][i]
@@ -667,13 +715,17 @@ def _ec_add_g2_call(n_tiles: int, interpret: bool):
     nspec = pl.BlockSpec(
         (1, _SUB, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
+    p_spec = pl.BlockSpec(
+        (L, 1, _LANE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
     shape = jax.ShapeDtypeStruct((L, n_tiles * _SUB, _LANE), jnp.int32)
     call = pl.pallas_call(
         kernel,
         out_shape=(shape,) * 6,
         grid=(n_tiles,),
-        in_specs=[spec] * 12 + [nspec],
+        in_specs=[spec] * 12 + [nspec, p_spec],
         out_specs=(spec,) * 6,
+        scratch_shapes=[pltpu.VMEM((L, 18, _SUB, _LANE), jnp.int32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n_tiles * _TILE * 42 * (2 * L * L + 6 * L),
@@ -681,7 +733,15 @@ def _ec_add_g2_call(n_tiles: int, interpret: bool):
             transcendentals=0,
         ),
     )
-    return call if interpret else jax.jit(call)
+    jitted = call if interpret else jax.jit(call)
+
+    def run(*args):
+        p_arr = jnp.broadcast_to(
+            jnp.asarray(fs.np_p).reshape(L, 1, 1), (L, 1, _LANE)
+        )
+        return jitted(*args, p_arr)
+
+    return run
 
 
 def ec_add_g2_flat(p3, q3, neg, interpret: bool = False):

@@ -421,13 +421,21 @@ def _msm_stage_sharded_fn(pk, mesh, n_pads):
             acc = CJ.ec_add(ops, acc, nxt)
         return acc
 
+    # Per-shard local MSM: default is the sort/telescope pipeline (the
+    # bucket scan it replaces is 2-3 orders slower at scale, PERF_NOTES.md;
+    # VERDICT r4 weak #5). ZKEMAIL_SHARD_MSM=bucket keeps the old path.
+    use_sort = os.environ.get("ZKEMAIL_SHARD_MSM", "sort") != "bucket"
+    from ..ops.msm_sort import msm_sorted_traced
+
     def f(w_t, h_t, a_q, b1_q, b2_q, c_q, h_q):
         idx = jax.lax.axis_index("msm")
 
         def one(ops, q, scal, n_pad):
-            part = msm_multi(
-                ops, q, _shard_local_scalars(scal, n_pad, n_msm, idx)
-            )
+            local = _shard_local_scalars(scal, n_pad, n_msm, idx)
+            if use_sort:
+                part = msm_sorted_traced(ops, q, local)
+            else:
+                part = msm_multi(ops, q, local)
             return _reduce_gathered(ops, part)
 
         a_dev = one(CJ.FQ_OPS, a_q, w_t, n_pads["a_query"])

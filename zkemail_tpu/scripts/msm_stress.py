@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--chunked", action="store_true",
                     help="use msm_multi_chunked (bounded dispatches)")
     ap.add_argument("--cbits", type=int, default=8)
+    ap.add_argument("--algo", choices=["bucket", "sort"], default="bucket",
+                    help="sort = the production sort/telescope MSM")
+    ap.add_argument("--rows", type=int, default=0,
+                    help="sort path row-chunk override (0 = default)")
+    ap.add_argument("--cols", type=int, default=0,
+                    help="sort path column width override (0 = default)")
     args = ap.parse_args()
 
     import jax
@@ -75,7 +81,16 @@ def main() -> None:
     # top limb must keep the value < 2^254-ish so digit extraction is sane
     scal = scal.at[L - 1].set(scal[L - 1] & 0x3)
 
-    if args.chunked:
+    if args.algo == "sort":
+        import sys as _sys
+        from zkemail_tpu.ops.msm_sort import msm_sorted
+
+        def fn(q, s):
+            return msm_sorted(
+                ops, q, s, row_chunk=args.rows, col_chunk=args.cols,
+                progress=lambda m: print(f"# {m}", file=_sys.stderr, flush=True),
+            )
+    elif args.chunked:
         import sys as _sys
         from zkemail_tpu.ops.msm import msm_multi_chunked
 
