@@ -124,3 +124,90 @@ def test_msm_sorted_column_slicing_matches():
         CJ.FQ_OPS, pts, scal, c_bits=13, k_block=4, cutoff=8, col_chunk=96
     )
     assert affine_eq(CJ.FQ_OPS, got2, base)
+
+
+def test_msm_sorted_pruned_matches_dense():
+    """Window-pruned dispatch == bucket MSM on a realistic sparse witness
+    mix (mostly bit/byte-range signals, a few full-field), including the
+    permuted-query contract, column slicing, and zero signals."""
+    from zkemail_tpu.ops.msm_sort import build_signal_plan, msm_sorted_pruned
+    from zkemail_tpu.ops.msm import _map_coords
+
+    n, bsz = 96, 2
+    host_pts = [G1.generator().mul(RNG.randrange(1, 10**9)) for _ in range(n)]
+    pts = MSM.points_from_affine_ints(
+        CJ.FQ_OPS, [p.x for p in host_pts], [p.y for p in host_pts]
+    )
+    # witness-like columns: ~85% bits/bytes, some zeros, a few full-field
+    cols = []
+    for j in range(n):
+        r = RNG.random()
+        if r < 0.1:
+            cols.append(0)
+        elif r < 0.8:
+            cols.append(RNG.randrange(256))
+        elif r < 0.9:
+            cols.append(RNG.randrange(1 << 121))
+        else:
+            cols.append(RNG.randrange(P))
+    cols[0], cols[1] = P - 1, 1 << 13  # boundary + exact-window-fill carry
+    rows = [cols, [(v * 3) % P if v else 0 for v in cols]]
+    scal = _scal_arr(rows)
+    base = MSM.msm_multi(CJ.FQ_OPS, pts, scal, chunk=8)
+
+    perm, prefixes = build_signal_plan(scal, c_bits=13)
+    assert prefixes[0] <= n and prefixes[-1] < prefixes[0]
+    pts_p = _map_coords(pts, lambda c: c[:, jnp.asarray(perm)])
+    for col_chunk in (0, 40):
+        got = msm_sorted_pruned(
+            CJ.FQ_OPS, pts_p, scal, perm, prefixes,
+            c_bits=13, k_block=4, col_chunk=col_chunk, row_chunk=8,
+        )
+        assert got is not None
+        assert affine_eq(CJ.FQ_OPS, got, base), f"col_chunk={col_chunk}"
+
+
+def test_msm_sorted_pruned_detects_stale_plan():
+    """A batch whose digits exceed the cached prefixes must be REJECTED
+    (None), never silently mis-proved — the soundness contract of the plan."""
+    from zkemail_tpu.ops.msm_sort import build_signal_plan, msm_sorted_pruned
+    from zkemail_tpu.ops.msm import _map_coords
+
+    n = 16
+    host_pts = [G1.generator().mul(i + 1) for i in range(n)]
+    pts = MSM.points_from_affine_ints(
+        CJ.FQ_OPS, [p.x for p in host_pts], [p.y for p in host_pts]
+    )
+    small = _scal_arr([[RNG.randrange(256) for _ in range(n)]])
+    perm, prefixes = build_signal_plan(small, c_bits=13)
+    pts_p = _map_coords(pts, lambda c: c[:, jnp.asarray(perm)])
+    ok = msm_sorted_pruned(CJ.FQ_OPS, pts_p, small, perm, prefixes, c_bits=13, k_block=4)
+    assert ok is not None
+    big_rows = [[RNG.randrange(P) for _ in range(n)]]
+    big = _scal_arr(big_rows)
+    assert msm_sorted_pruned(
+        CJ.FQ_OPS, pts_p, big, perm, prefixes, c_bits=13, k_block=4
+    ) is None
+
+
+def test_msm_sorted_pruned_g2():
+    from zkemail_tpu.ops.msm_sort import build_signal_plan, msm_sorted_pruned
+    from zkemail_tpu.ops.msm import _map_coords
+
+    n = 12
+    host = [G2.generator().mul(RNG.randrange(1, 10**9)) for _ in range(n)]
+    pts = MSM.g2_points_from_affine(
+        [p.x.c0 for p in host], [p.x.c1 for p in host],
+        [p.y.c0 for p in host], [p.y.c1 for p in host],
+    )
+    rows = [[RNG.randrange(256) if j % 3 else RNG.randrange(P) for j in range(n)]
+            for _ in range(2)]
+    scal = _scal_arr(rows)
+    base = MSM.msm_multi(CJ.FQ2_OPS, pts, scal, chunk=4)
+    perm, prefixes = build_signal_plan(scal, c_bits=13)
+    pts_p = _map_coords(pts, lambda c: c[:, jnp.asarray(perm)])
+    got = msm_sorted_pruned(
+        CJ.FQ2_OPS, pts_p, scal, perm, prefixes, c_bits=13, k_block=4, row_chunk=8
+    )
+    assert got is not None
+    assert affine_eq(CJ.FQ2_OPS, got, base)

@@ -70,3 +70,43 @@ def test_rsa_bench_circuit_parity():
     w2 = cc.eval_witness(inputs, 1)
     wi2 = LB.limbs_to_ints(np.asarray(w2[:, :, 0]))
     assert not cc.check_satisfied_host([int(x) for x in wi2])
+
+
+def test_email_reveal_bench_circuit_parity():
+    """EmailVerifier + substring reveal (the BASELINE "regex reveal" bench
+    config): R1CS satisfied, revealed subject packed into the tail publics,
+    and an out-of-window reveal start is rejected."""
+    from zkemail_tpu.helpers.input_gen import (
+        InputGenArgs,
+        generate_email_verifier_inputs,
+    )
+    from zkemail_tpu.helpers.testkit import LocalDKIMSigner
+    from zkemail_tpu.models.email_verifier import EmailVerifierConfig
+    from zkemail_tpu.models.input_bridge import prepare_inputs
+    from zkemail_tpu.models.subcircuits import build_email_reveal_bench
+
+    signer = LocalDKIMSigner()
+    eml = signer.sign_email(subject="bench email 0", body=b"reveal body\r\n")
+    cc = build_email_reveal_bench(448, 192, max_reveal=32).compile()
+    cfg = EmailVerifierConfig(
+        max_headers_length=448, max_body_length=192, ignore_body_hash_check=False
+    )
+    args = InputGenArgs(max_headers_length=448, max_body_length=192)
+    raw = generate_email_verifier_inputs(eml, signer.resolver(), args)
+    inputs = prepare_inputs([raw], cfg)
+    hdr = bytes(int(v) for v in raw["emailHeader"])
+    needle = b"subject:bench email 0"
+    pos = hdr.find(needle)
+    assert pos >= 0
+    inputs["revealStart"] = jnp.asarray(np.array([pos], dtype=np.int32))
+    inputs["revealLength"] = jnp.asarray(np.array([len(needle)], dtype=np.int32))
+    w = cc.eval_witness(inputs, 1)
+    assert cc.check_satisfied_device(w[:, :, 0])
+    # revealed bytes packed 31-per-field, little-endian, in the tail publics
+    pubs = _publics(cc, w)
+    packed0 = int.from_bytes(needle[:31].ljust(31, b"\x00"), "little")
+    assert packed0 in pubs
+    # reveal window past the header end -> unsatisfiable
+    inputs["revealStart"] = jnp.asarray(np.array([448], dtype=np.int32))
+    w2 = cc.eval_witness(inputs, 1)
+    assert not cc.check_satisfied_device(w2[:, :, 0])

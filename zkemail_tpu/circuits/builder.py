@@ -332,6 +332,18 @@ class ConstraintSystem:
         prep_b = PreparedLC(b, shape)
 
         def step(env, prep_a=prep_a, prep_b=prep_b):
+            a_s = prep_a.eval_small(env)
+            b_s = prep_b.eval_small(env) if a_s is not None else None
+            if b_s is not None:
+                # int64 product path: both factors < 2^31 -> product < 2^62
+                # fits int64 and is already reduced (< P)
+                if (
+                    a_s.max(initial=0) < (1 << 31)
+                    and b_s.max(initial=0) < (1 << 31)
+                ):
+                    return _limbs_from_i64(a_s * b_s)
+                prod = (a_s.astype(object) * b_s.astype(object)) % P
+                return LB.ints_to_limbs(prod)
             if prep_a.host_eligible(env):
                 prod = (prep_a.eval_ints(env) * prep_b.eval_ints(env)) % P
                 return LB.ints_to_limbs(prod)
@@ -364,15 +376,34 @@ def _from_mont_dev(x: jnp.ndarray) -> jnp.ndarray:
     return LB.from_mont(LB.FR_SPEC, x)
 
 
+def _limbs_from_i64(vals: np.ndarray) -> np.ndarray:
+    """(..., B) non-negative int64 (< 2^62) -> (L, ..., B) int32 limbs."""
+    out = np.zeros((L,) + vals.shape, dtype=np.int32)
+    mask = (1 << F.LIMB_BITS) - 1
+    for i in range(-(-62 // F.LIMB_BITS)):
+        out[i] = (vals >> (i * F.LIMB_BITS)) & mask
+    return out
+
+
 class PreparedLC:
     """An LC with coefficient limb arrays precomputed at build time.
 
     Evaluating an LC inside a witness step must not re-run the Python-int ->
     limb conversion per call (it dominated eager witness time); this caches
-    the Montgomery coefficient arrays once.
-    """
+    the Montgomery coefficient arrays once — plus an int64 "small" form of
+    every coefficient when they all fit, enabling eval_small's pure-numpy
+    fast path (the object-int path cost ~3.4 s/batch on the DFA products
+    alone at full640)."""
 
-    __slots__ = ("terms", "const_limbs", "shape", "n", "int_terms", "int_const")
+    __slots__ = (
+        "terms", "const_limbs", "shape", "n", "int_terms", "int_const",
+        "small_cf", "small_const", "small_ok",
+    )
+
+    # |coefficient| bound for the int64 path; values are bounded by 3 limbs
+    # (36 bits), so sum_t |c_t| * 2^36 + |const| stays < 2^62 for any
+    # realistic term count
+    SMALL_COEFF = 1 << 20
 
     def __init__(self, lc: "LC", shape=None):
         lc = LC.of(lc)
@@ -380,6 +411,22 @@ class PreparedLC:
         self.n = int(np.prod(self.shape, dtype=np.int64)) if self.shape else 1
         self.terms = []
         self.int_terms = []
+        self.small_cf = []
+        bound = 0
+        small_ok = True
+
+        def small_of(cf_arr):
+            out = np.zeros(len(cf_arr), dtype=np.int64)
+            for i, c in enumerate(cf_arr):
+                c = int(c) % P
+                if c < PreparedLC.SMALL_COEFF:
+                    out[i] = c
+                elif c > P - PreparedLC.SMALL_COEFF:
+                    out[i] = c - P
+                else:
+                    return None
+            return out
+
         for sv, coeff in lc.terms:
             cf_arr = np.broadcast_to(
                 np.asarray(coeff, dtype=object), self.shape
@@ -387,16 +434,31 @@ class PreparedLC:
             if all(int(c) == 1 for c in cf_arr):
                 self.terms.append((sv, None))
                 self.int_terms.append(None)
+                self.small_cf.append(None)  # unit coefficient
+                bound += 1 << 36
             else:
                 self.terms.append((sv, jnp.asarray(_coeff_limbs_mont(cf_arr))))
                 self.int_terms.append(cf_arr)
+                sm = small_of(cf_arr)
+                self.small_cf.append(sm)
+                if sm is None:
+                    small_ok = False
+                else:
+                    bound += int(np.abs(sm).max(initial=1)) << 36
         cf_arr = np.broadcast_to(np.asarray(lc.const, dtype=object), self.shape).reshape(-1)
         if any(int(x) != 0 for x in cf_arr):
             self.const_limbs = jnp.asarray(_coeff_limbs_plain(cf_arr))
             self.int_const = cf_arr
+            self.small_const = small_of(cf_arr)
+            if self.small_const is None:
+                small_ok = False
+            else:
+                bound += int(np.abs(self.small_const).max(initial=0))
         else:
             self.const_limbs = None
             self.int_const = None
+            self.small_const = None
+        self.small_ok = small_ok and bound < (1 << 62)
 
     # Eager host-int path: for small LCs the jnp evaluation costs dozens of
     # tiny-kernel dispatches; Python bigints win below this size.
@@ -408,8 +470,44 @@ class PreparedLC:
             and self.n * env.w.shape[-1] <= PreparedLC.HOST_EVAL_MAX
         )
 
+    def eval_small(self, env: "Env"):
+        """int64 numpy fast path: (n, B) non-negative int64 standard-form
+        values, or None when a coefficient, an operand (> 36 bits), or a
+        negative accumulation forces the exact object-int path. The bound
+        precomputed in __init__ guarantees no int64 overflow."""
+        if not self.small_ok or not isinstance(env.w, np.ndarray):
+            return None
+        bsz = env.w.shape[-1]
+        acc = np.zeros((self.n, bsz), dtype=np.int64)
+        for (sv, _), cf in zip(self.terms, self.small_cf):
+            g = env.w[:, env._map(sv.idx.reshape(-1)), :]
+            if g[3:].any():  # value exceeds 3 limbs (36 bits)
+                return None
+            vals = (
+                g[0].astype(np.int64)
+                | (g[1].astype(np.int64) << F.LIMB_BITS)
+                | (g[2].astype(np.int64) << (2 * F.LIMB_BITS))
+            )
+            pad = len(self.shape) - len(sv.shape)
+            vals = np.broadcast_to(
+                vals.reshape((1,) * pad + sv.shape + (bsz,)),
+                tuple(self.shape) + (bsz,),
+            ).reshape(self.n, bsz)
+            if cf is None:
+                acc = acc + vals
+            else:
+                acc = acc + cf.reshape(self.n, 1) * vals
+        if self.small_const is not None:
+            acc = acc + self.small_const.reshape(self.n, 1)
+        if (acc < 0).any():  # would need a bigint mod — exact path instead
+            return None
+        return acc
+
     def eval_ints(self, env: "Env") -> np.ndarray:
         """(n, B) object ndarray of field ints (standard form)."""
+        small = self.eval_small(env)
+        if small is not None:
+            return small.astype(object)
         bsz = env.w.shape[-1]
         acc = np.zeros((self.n, bsz), dtype=object)
         for (sv, _), cf in zip(self.terms, self.int_terms):
@@ -453,6 +551,9 @@ class PreparedLC:
         return acc
 
     def eval_std(self, env: Env) -> jnp.ndarray:
+        small = self.eval_small(env)
+        if small is not None:
+            return _limbs_from_i64(small)
         if self.host_eligible(env):
             return LB.ints_to_limbs(self.eval_ints(env))
         return _from_mont_dev(self.eval_mont(env))
@@ -526,6 +627,17 @@ class CompiledCircuit:
         self.input_bindings = cs.input_bindings
         self.scopes = list(cs.scopes)
         self._eval_jit = None
+        # precomputed writeback targets: signals are allocated sequentially,
+        # so perm[out_idx] is almost always a contiguous run — a SLICE write
+        # is a memcpy while the equivalent fancy-index write is a scatter
+        # (measured ~3.1 s of the 12.5 s full640 batch-8 eager witness)
+        self._wb = []
+        for st in self.steps:
+            pidx = perm[st.out_idx]
+            if len(pidx) and (np.diff(pidx) == 1).all():
+                self._wb.append(slice(int(pidx[0]), int(pidx[0]) + len(pidx)))
+            else:
+                self._wb.append(pidx)
 
     # ------------------------------------------------------------ witness
     def eval_witness(self, inputs: dict, batch: int) -> jnp.ndarray:
@@ -544,9 +656,9 @@ class CompiledCircuit:
             w = np.zeros((L, self.n_signals, batch), dtype=np.int32)
             w[0, 0, :] = 1  # ONE
             env = Env(w, inputs, self.perm)
-            for step in self.steps:
+            for step, wb in zip(self.steps, self._wb):
                 vals = step.fn(env)
-                w[:, self.perm[step.out_idx], :] = np.asarray(vals).reshape(
+                w[:, wb, :] = np.asarray(vals).reshape(
                     L, len(step.out_idx), batch
                 )
             return jnp.asarray(w)

@@ -60,6 +60,41 @@ def build_rsa_bench() -> ConstraintSystem:
     return cs
 
 
+def build_email_reveal_bench(
+    max_headers_length: int = 640,
+    max_body_length: int = 768,
+    max_reveal: int = 32,
+) -> ConstraintSystem:
+    """EmailVerifier + substring reveal — the BASELINE.md "EmailVerifier +
+    regex reveal" benchmark config.
+
+    The reference's application pattern (e.g. Proof-of-Twitter) composes
+    EmailVerifier with RevealSubstring over the signed header
+    (packages/circuits/helpers/reveal-substring.circom:13) and packs the
+    revealed bytes as public signals (utils/regex.circom:62 PackRegexReveal
+    role). Reveal window is bounds-checked against the header and packed
+    31-bytes-per-field (PackBytes:28)."""
+    from ..circuits.gadgets.bytes import pack_bytes
+    from ..circuits.gadgets.email_helpers import reveal_substring
+    from .email_verifier import EmailVerifierConfig, build_email_verifier
+
+    cfg = EmailVerifierConfig(
+        max_headers_length=max_headers_length,
+        max_body_length=max_body_length,
+        ignore_body_hash_check=False,
+    )
+    handles = build_email_verifier(cfg)
+    cs = handles.cs
+    header = next(b.signals for b in cs.input_bindings if b.name == "emailHeader")
+    start = cs.add_input("revealStart", ())
+    length = cs.add_input("revealLength", ())
+    with cs.scope("reveal_substring"):
+        sub = reveal_substring(cs, header, start, length, max_reveal)
+        packed = pack_bytes(cs, sub)
+    cs.mark_public(packed)
+    return cs
+
+
 def digest_to_bits(digest: bytes) -> np.ndarray:
     """SHA-256 digest -> the (8, 32) LSB-first word-bit layout sha256_bytes
     produces (sha_wrappers.sha256_bytes returns (8, 32) LSB-first bits)."""

@@ -52,6 +52,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import curve_jax as CJ
 from ..core import field as F
@@ -68,13 +69,25 @@ L = F.LIMBS
 
 C_BITS_SORT = int(os.environ.get("ZKEMAIL_MSM_SORT_C", "13"))
 
-# Default fixed column width for the rows programs (ZKEMAIL_MSM_COLS
-# overrides; 0 disables). One compiled program of this width serves every
-# query size — XLA:TPU compile time scales with program SIZE, and the
-# full-width (2^20+) programs cost 8-15+ min each to compile
+# Default fixed column width for the rows programs (ZKEMAIL_MSM_COLS /
+# ZKEMAIL_MSM_COLS_G2 override; 0 disables). One compiled program of this
+# width serves every query size — XLA:TPU compile time scales with program
+# SIZE, and the full-width (2^20+) programs cost 8-15+ min each to compile
 # (PERF_NOTES.md pathology 4; VERDICT r4 weak #3: leaving this off by
 # default left the 8-15-min compiles on the default prove path).
+# G2 narrower: the Fq2 rows program carries ~3x the field ops per column
+# and its 2^16-wide instance did NOT finish compiling in 31 min on the
+# tunneled TPU (r5 measured; G1@2^16 took ~25 min). At 2^14 it compiles in
+# minutes, and the window-pruned b2 MSM is small enough that the extra
+# per-chunk dispatches cost ~nothing.
 DEFAULT_COL_CHUNK = 1 << 16
+DEFAULT_COL_CHUNK_G2 = 1 << 14
+
+
+def default_col_chunk(ops) -> int:
+    if ops.name == "fq2":
+        return int(os.environ.get("ZKEMAIL_MSM_COLS_G2", str(DEFAULT_COL_CHUNK_G2)))
+    return int(os.environ.get("ZKEMAIL_MSM_COLS", str(DEFAULT_COL_CHUNK)))
 
 
 def _leaf(pt):
@@ -360,8 +373,9 @@ def msm_sorted(
     query of every size then reuses ONE compiled rows-program of width
     col_chunk (XLA:TPU compile time scales with program SIZE — the full-width
     program at 2^20+ columns costs 8-15+ min to compile, PERF_NOTES.md
-    pathology 4). Defaults to DEFAULT_COL_CHUNK (2^16); 0 = no slicing
-    (one full-width program per distinct n)."""
+    pathology 4). Defaults per group: 2^16 for G1, 2^14 for G2
+    (default_col_chunk); 0 = no slicing (one full-width program per
+    distinct n)."""
     c_bits = c_bits or C_BITS_SORT
     if scalars.ndim != 3 or scalars.shape[0] != L:
         raise ValueError(
@@ -389,7 +403,7 @@ def msm_sorted(
         mag = mag.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
         neg = neg.reshape(n_windows, bsz, n).transpose(1, 0, 2).reshape(w_eff, n)
 
-    col_chunk = col_chunk or int(os.environ.get("ZKEMAIL_MSM_COLS", str(DEFAULT_COL_CHUNK)))
+    col_chunk = col_chunk or default_col_chunk(ops)
     if row_chunk:
         R = row_chunk
     else:
@@ -467,6 +481,222 @@ def msm_sorted(
     return _horner_combine(ops, total, n_windows, c_bits)
 
 
+# ---------------------------------------------------------------------------
+# window-pruned dispatch: static per-circuit signal-sparsity plan
+# ---------------------------------------------------------------------------
+#
+# The witness of a byte/bit-heavy circuit is extremely sparse in the digit
+# domain: ~98% of the full640 EmailVerifier's 1.31M signals are <= 12 bits
+# (SHA/regex bit and byte signals), so with c=13 signed windows their digits
+# at windows 1..19 are ALL ZERO — only ~25k signals (FpMul q/r limbs,
+# Poseidon state, packed words) carry full-width values. A dense MSM pays
+# rows x n work regardless; ordering the signal columns by how many windows
+# they actually populate lets every window row stop at a static PREFIX of
+# the column space, cutting the EC-add and sort volume of the four
+# signal-scalar MSMs (a/b1/b2/c) ~15x (measured adds_ratio 0.068).
+#
+# The plan is built once per circuit from one proven batch's digits and is a
+# performance hint only: every later batch re-validates it on-device (one
+# fused all-zero check over the out-of-prefix digit positions) and the
+# caller falls back to the dense path when the check fails, so soundness
+# never depends on the plan being right. Because the pruned dispatcher calls
+# the SAME (R, col_chunk)-shaped rows program as the dense path, pruning
+# adds zero new TPU compiles.
+
+
+@functools.lru_cache(maxsize=None)
+def _wins_jitted(c_bits: int, n_windows: int):
+    """Per-signal populated-window count over a batch: (L, B, n) standard
+    scalars -> (n,) int32, the highest window index with a nonzero signed
+    digit plus one (0 = the signal is zero in every batch element)."""
+
+    def f(scalars):
+        _, bsz, n = scalars.shape
+        mag, _neg = extract_signed_digits(
+            scalars.reshape(L, bsz * n), c_bits, n_windows
+        )
+        mag = mag.reshape(n_windows, bsz, n)
+        wid = jnp.arange(1, n_windows + 1, dtype=jnp.int32)[:, None, None]
+        return jnp.max(jnp.where(mag != 0, wid, 0), axis=(0, 1))
+
+    return jax.jit(f)
+
+
+def build_signal_plan(scalars: jnp.ndarray, c_bits: int = 0):
+    """Signal-sparsity plan from one batch of witness scalars.
+
+    Returns (perm, prefixes): perm (n,) int32 ordering signals by descending
+    populated-window count (stable, so the order is deterministic);
+    prefixes[j] = how many permuted signals can have a nonzero digit at
+    window j (a prefix, by construction). Feed the SAME permutation to the
+    CRS query (once) and to the scalars of every later call."""
+    c_bits = c_bits or C_BITS_SORT
+    n_windows = -(-254 // c_bits)
+    wins = np.asarray(_wins_jitted(c_bits, n_windows)(scalars))
+    perm = np.argsort(-wins, kind="stable").astype(np.int32)
+    ws = wins[perm]
+    prefixes = tuple(int((ws > j).sum()) for j in range(n_windows))
+    return perm, prefixes
+
+
+@functools.lru_cache(maxsize=None)
+def _digits_pruned_jitted(c_bits: int, n_windows: int, w_pad: int, n_cols_pad: int):
+    """Digits of signal-PERMUTED scalars in row-sorted padded layout, plus
+    the plan-validity flag, as ONE device program.
+
+    Call args: scalars (L, B, n), perm (n,), row_perm (w_pad,), prefixes
+    (n_windows,). Returns (mag, neg, ok): (w_pad, n_cols_pad) int32 with
+    rows ordered by row_perm (descending active-chunk count, zero rows
+    padding the tail) and ok = True iff no digit sits at or beyond its
+    window's prefix boundary."""
+
+    def f(scalars, perm, row_perm, prefixes):
+        _, bsz, n = scalars.shape
+        sp = scalars[:, :, perm]
+        mag, neg = extract_signed_digits(
+            sp.reshape(L, bsz * n), c_bits, n_windows
+        )
+        mag = mag.reshape(n_windows, bsz, n)
+        neg = neg.reshape(n_windows, bsz, n)
+        col = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+        ok = ~jnp.any((col >= prefixes[:, None, None]) & (mag != 0))
+        w_eff = bsz * n_windows
+        mag = mag.transpose(1, 0, 2).reshape(w_eff, n)
+        neg = neg.transpose(1, 0, 2).reshape(w_eff, n)
+        pad_r, pad_c = w_pad - w_eff, n_cols_pad - n
+        if pad_r or pad_c:
+            mag = jnp.pad(mag, ((0, pad_r), (0, pad_c)))
+            neg = jnp.pad(neg, ((0, pad_r), (0, pad_c)))
+        return mag[row_perm], neg[row_perm], ok
+
+    return jax.jit(f)
+
+
+def msm_sorted_pruned(
+    ops,
+    points,
+    scalars: jnp.ndarray,
+    perm: np.ndarray,
+    prefixes: tuple,
+    c_bits: int = 0,
+    k_block: int = 16,
+    row_chunk: int = 0,
+    col_chunk: int = 0,
+    progress=None,
+):
+    """Window-pruned batched MSM over signal-permuted fixed bases.
+
+    `points` must already be permuted by `perm` (permute the CRS query once,
+    cache it); `scalars` are UNpermuted (L, B, n) standard-form limbs — the
+    permutation is fused into the digit program. Result equals
+    msm_sorted(original points, scalars) exactly; returns None when the
+    batch's digits exceed the plan (caller falls back to the dense path).
+    """
+    c_bits = c_bits or C_BITS_SORT
+    if scalars.ndim != 3 or scalars.shape[0] != L:
+        raise ValueError(
+            f"msm_sorted_pruned expects scalars (L={L}, B, n); got {scalars.shape}"
+        )
+    _, bsz, n = scalars.shape
+    n_windows = -(-254 // c_bits)
+    if len(prefixes) != n_windows:
+        raise ValueError(
+            f"plan has {len(prefixes)} windows; c_bits={c_bits} needs {n_windows}"
+        )
+    nb = 1 << (c_bits - 1)
+    cutoff = min(nb, 256)
+    col_chunk = col_chunk or default_col_chunk(ops)
+    if not col_chunk or col_chunk > n:
+        col_chunk = n
+    W = col_chunk
+    n_chunks_j = [(-(-p // W) if p else 0) for p in prefixes]
+    on_accel = jax.default_backend() != "cpu"
+    if row_chunk:
+        R = row_chunk
+    else:
+        R = int(os.environ.get("ZKEMAIL_MSM_ROWS", "0")) or (
+            16 if ops.name == "fq2" else 32
+        )
+    w_eff = bsz * n_windows
+    R = min(R, w_eff)
+    w_pad = -(-w_eff // R) * R
+    n_cols_pad = -(-n // W) * W
+
+    # rows sorted by active-chunk count desc: the active rows of every
+    # column chunk then form a prefix, and each R-row call chunk has a
+    # static chunk count = the max over its rows
+    m_row = np.array(
+        [n_chunks_j[r % n_windows] for r in range(w_eff)] + [0] * (w_pad - w_eff),
+        dtype=np.int32,
+    )
+    row_perm = np.argsort(-m_row, kind="stable").astype(np.int32)
+    m_sorted = m_row[row_perm]
+
+    mag, neg, ok = _digits_pruned_jitted(c_bits, n_windows, w_pad, n_cols_pad)(
+        scalars,
+        jnp.asarray(perm),
+        jnp.asarray(row_perm),
+        jnp.asarray(np.array(prefixes, dtype=np.int32)),
+    )
+    if not bool(ok):
+        return None
+
+    fn = (
+        _rows_jitted(ops.name, k_block, cutoff, nb)
+        if on_accel
+        else functools.partial(_rows_fn, ops, k_block, cutoff, nb)
+    )
+    pts_slices: dict = {}
+
+    def pt_slice(cj):
+        if cj not in pts_slices:
+            s0, s1 = cj * W, min((cj + 1) * W, n)
+            p = points if W >= n else _index_pt(ops, points, (slice(s0, s1),))
+            if s1 - s0 < W:  # final slice: pad with (irrelevant) lead columns
+                p = _concat_last(
+                    ops, p, _index_pt(ops, points, (slice(0, W - (s1 - s0)),))
+                )
+            pts_slices[cj] = p
+        return pts_slices[cj]
+
+    outs = []
+    n_calls = w_pad // R
+    for ri in range(n_calls):
+        mc = int(m_sorted[ri * R : (ri + 1) * R].max(initial=0))
+        if mc == 0:  # all-zero rows (plan says no digits anywhere)
+            outs.append(CJ.ec_identity(ops, (R,)))
+            continue
+        parts = []
+        for cj in range(mc):
+            parts.append(
+                fn(
+                    pt_slice(cj),
+                    mag[ri * R : (ri + 1) * R, cj * W : (cj + 1) * W],
+                    neg[ri * R : (ri + 1) * R, cj * W : (cj + 1) * W],
+                )
+            )
+        out = parts[0]
+        for pt in parts[1:]:
+            out = (
+                _colsum_jitted(ops.name)(out, pt)
+                if on_accel
+                else CJ.ec_add(ops, out, pt)
+            )
+        if progress is not None:
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            progress(f"msm pruned rows {ri + 1}/{n_calls} (chunks {mc})")
+        outs.append(out)
+    total = outs[0] if len(outs) == 1 else _concat_pt_list(outs)
+
+    inv = np.empty(w_pad, dtype=np.int32)
+    inv[row_perm] = np.arange(w_pad, dtype=np.int32)
+    total = _map_coords(total, lambda c: c[:, jnp.asarray(inv[:w_eff])])
+    if on_accel:
+        return _tail_jitted(ops.name, bsz, n_windows, c_bits)(total)
+    total = _map_coords(total, lambda c: c.reshape(L, bsz, n_windows))
+    return _horner_combine(ops, total, n_windows, c_bits)
+
+
 def msm_sorted_traced(
     ops,
     points,
@@ -474,6 +704,7 @@ def msm_sorted_traced(
     c_bits: int = 0,
     k_block: int = 16,
     row_chunk: int = 0,
+    tail: bool = True,
 ):
     """Fully-traceable sort/telescope MSM (same contract as msm_sorted) for
     use INSIDE jit/shard_map bodies — e.g. the per-shard local MSM of the
@@ -512,4 +743,10 @@ def msm_sorted_traced(
     if rows_pad != w_eff:
         total = _index_pt(ops, total, (slice(0, w_eff),))
     total = _map_coords(total, lambda c: c.reshape(L, bsz, n_windows))
+    if not tail:
+        # per-window partial sums (..., bsz, n_windows) WITHOUT the Horner
+        # combine: the ~c_bits*n_windows-op doubling chain is shard-
+        # independent and dominates small traced graphs (the multichip
+        # dryrun's compile budget) — callers fold it outside the jit
+        return total
     return _horner_combine(ops, total, n_windows, c_bits)

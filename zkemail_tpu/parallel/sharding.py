@@ -5,10 +5,11 @@ TPU-native design obligation:
 
   * axis "dp": data-parallel over independent emails — witness generation and
     whole proofs shard trivially (the dominant win; BASELINE config #5).
-  * axis "msm": intra-proof parallelism — MSM points/threads shard across
-    chips; each chip accumulates a private bucket table, tables are combined
-    with an all_gather + local EC tree-reduce (EC addition is not a psum-able
-    monoid, so gather-then-reduce rides ICI once instead of log-p hops).
+  * axis "msm": intra-proof parallelism — MSM points shard across chips;
+    each chip runs a complete sort/telescope MSM over its local slice
+    (ops/msm_sort.py), partial sums are combined with an all_gather + local
+    EC tree-reduce (EC addition is not a psum-able monoid, so
+    gather-then-reduce rides ICI once instead of log-p hops).
   * NTT sharding: the h polynomial's iNTT/shift/NTT pipeline shards over
     "msm" via a four-step decomposition (sharded_h_eval below) — one
     all_gather over ICI per NTT, local radix-2 stages otherwise.
@@ -40,57 +41,43 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None):
     return Mesh(mesh_devs, ("dp", "msm"))
 
 
-def sharded_bucket_accumulate(
-    mesh: Mesh, ops, points, scalars, c_bits: int = 4, chunk: int = 2
+def sharded_sort_msm(
+    mesh: Mesh, ops, points, scalars, c_bits: int = 8, row_chunk: int = 0,
+    tail: bool = True, k_block: int = 16,
 ):
-    """The msm-axis-sharded core of Pippenger: per-shard private bucket
-    accumulation + an all_gather of the partial bucket sums over ICI.
-
-    Returns the gathered per-shard window sums (n_shards, windows) — the
-    cheap final combine runs outside (eagerly / on host).  Used by the
-    multichip dry run where the full in-jit reduction would blow up the CPU
-    compile budget.
-    """
-    n_windows = -(-254 // c_bits)
+    """msm-axis-sharded sort/telescope MSM — the production sharded prove
+    path's per-shard design (prover.groth16._msm_stage_sharded_fn uses
+    ops.msm_sort.msm_sorted_traced per shard): each shard runs the full
+    sort/telescope pipeline over its local point slice, the per-shard
+    partial sums are all_gathered over "msm" and tree-reduced with exact EC
+    adds (EC addition is associative, so the result is shard-count
+    invariant). points (n,), scalars (L, B, n) with n divisible by the msm
+    shard count; returns a replicated point batch (B,) — or, with
+    tail=False, the per-window partial sums (B, n_windows) for callers that
+    fold the Horner combine outside the jit (compile-budget-bound users
+    like the multichip dryrun)."""
+    from ..ops.msm_sort import msm_sorted_traced
 
     def local_part(pts, sc):
-        mag, neg = MSM.extract_signed_digits(sc, c_bits, n_windows)
-        n_local = sc.shape[1]
-        steps = n_local // chunk
-        magr = mag.reshape(n_windows, steps, chunk)
-        negr = neg.reshape(n_windows, steps, chunk)
-        pts_steps = MSM._reshape_points(ops, pts, (steps, chunk))
-        buckets = CJ.ec_identity(ops, (n_windows, 1 << (c_bits - 1), chunk))
-
-        def body(bkts, xs):
-            mg, ng, pt = xs  # mg/ng uint8 (extract_signed_digits)
-            mg = mg.astype(jnp.int32)
-            ng = ng.astype(jnp.int32)
-            ptw = MSM._broadcast_point(ops, pt, (n_windows, chunk))
-            ptw = CJ.ec_select(
-                ops, jnp.broadcast_to(ng == 1, (n_windows, chunk)),
-                CJ.ec_neg(ops, ptw), ptw,
-            )
-            bidx = jnp.maximum(mg - 1, 0)
-            cur = MSM._gather_buckets(ops, bkts, bidx)
-            added = CJ.ec_add(ops, cur, ptw)
-            new = CJ.ec_select(ops, mg == 0, cur, added)
-            return MSM._scatter_buckets(ops, bkts, bidx, new), None
-
-        pts_scan = MSM._map_coords(pts_steps, lambda c: jnp.moveaxis(c, 1, 0))
-        buckets, _ = jax.lax.scan(
-            body, buckets, (jnp.moveaxis(magr, 1, 0), jnp.moveaxis(negr, 1, 0), pts_scan)
+        part = msm_sorted_traced(
+            ops, pts, sc, c_bits=c_bits, k_block=k_block,
+            row_chunk=row_chunk, tail=tail,
         )
-        return jax.tree_util.tree_map(
-            lambda c: jax.lax.all_gather(c, "msm", axis=0), buckets
+        g = jax.tree_util.tree_map(
+            lambda c: jax.lax.all_gather(c, "msm", axis=0), part
         )
+        S = mesh.shape["msm"]
+        acc = MSM._map_coords(g, lambda c: c[0])
+        for i in range(1, S):
+            acc = CJ.ec_add(ops, acc, MSM._map_coords(g, lambda c, i=i: c[i]))
+        return acc
 
     pt_spec = jax.tree_util.tree_map(lambda _: P(None, "msm"), points)
     out_spec = jax.tree_util.tree_map(lambda _: P(), points)
     fn = jax.shard_map(
         local_part,
         mesh=mesh,
-        in_specs=(pt_spec, P(None, "msm")),
+        in_specs=(pt_spec, P(None, None, "msm")),
         out_specs=out_spec,
         check_vma=False,
     )

@@ -316,6 +316,76 @@ def _msm_call(pk, kind: str, q, scal, progress=None):
     return msm_sorted(ops, q, scal, progress=progress)
 
 
+def _signal_plan(pk, scalars):
+    """Signal-sparsity plan + permuted signal queries, cached on the pk.
+
+    Built from the digits of the first proven batch (ops.msm_sort.
+    build_signal_plan); the four signal MSMs (a/b1/b2/c) then run
+    window-pruned. The plan is only a performance hint — every batch's
+    digits are re-validated on device and _msm_signal_call falls back to
+    the dense path (and rebuilds the plan) on a miss, so proofs never
+    depend on it. Queries are permuted ONCE on device (a ~100 GB/s gather)
+    and cached; the originals stay for the fallback path."""
+    import jax
+
+    from ..ops import msm_sort as MS
+
+    cached = getattr(pk, "_sig_plan", None)
+    if cached is not None:
+        return cached
+    perm, prefixes = MS.build_signal_plan(scalars)
+    perm_dev = jnp.asarray(perm)
+    from ..ops.msm import _map_coords
+
+    pq = {}
+    for name, q in (
+        ("a", pk.a_query),
+        ("b1", pk.b1_query),
+        ("b2", pk.b2_query),
+        ("c", _c_query_padded(pk)),
+    ):
+        pq[name] = _map_coords(q, lambda c: jnp.take(c, perm_dev, axis=1))
+    jax.block_until_ready(jax.tree_util.tree_leaves(pq)[0])
+    pk._sig_plan = (perm, prefixes, pq)
+    return pk._sig_plan
+
+
+def _msm_signal_call(pk, kind: str, qname: str, scal, progress=None):
+    """One signal-scalar MSM (a/b1/b2/c): window-pruned when possible.
+
+    ZKEMAIL_MSM_PRUNE=0 disables pruning; non-sort paths and CPU fall
+    through to _msm_call unchanged."""
+    import jax
+
+    dense_q = {
+        "a": lambda: pk.a_query,
+        "b1": lambda: pk.b1_query,
+        "b2": lambda: pk.b2_query,
+        "c": lambda: _c_query_padded(pk),
+    }[qname]
+    if (
+        jax.default_backend() == "cpu"
+        or os.environ.get("ZKEMAIL_MSM", "sort") != "sort"
+        or os.environ.get("ZKEMAIL_MSM_PRUNE", "1") == "0"
+    ):
+        return _msm_call(pk, kind, dense_q(), scal, progress)
+    from ..ops import msm_sort as MS
+
+    ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
+    perm, prefixes, pq = _signal_plan(pk, scal)
+    out = MS.msm_sorted_pruned(ops, pq[qname], scal, perm, prefixes, progress=progress)
+    if out is not None:
+        return out
+    # plan miss: this batch's digits exceed the cached prefixes (first call
+    # after a circuit/witness-distribution change). Prove dense, rebuild.
+    if progress is not None:
+        progress(f"msm {qname}: signal plan stale; dense fallback + rebuild")
+    pk._sig_plan = None
+    out = _msm_call(pk, kind, dense_q(), scal, progress)
+    _signal_plan(pk, scal)
+    return out
+
+
 def _c_query_padded(pk):
     """c_query front-padded with n_public+1 identity points, cached on pk.
 
@@ -711,11 +781,11 @@ def prove_batch(
         h_dev = _msm_call(pk, "g1", pk.h_query, h_t, progress)
         _mark("msm_h_s", h_dev)
         del h_t
-        a_dev = _msm_call(pk, "g1", pk.a_query, w_t, progress)
+        a_dev = _msm_signal_call(pk, "g1", "a", w_t, progress)
         _mark("msm_a_s", a_dev)
-        b2_dev = _msm_call(pk, "g2", pk.b2_query, w_t, progress)
+        b2_dev = _msm_signal_call(pk, "g2", "b2", w_t, progress)
         _mark("msm_b2_s", b2_dev)
-        b1_dev = _msm_call(pk, "g1", pk.b1_query, w_t, progress)
+        b1_dev = _msm_signal_call(pk, "g1", "b1", w_t, progress)
         _mark("msm_b1_s", b1_dev)
         import jax as _jax
 
@@ -726,7 +796,7 @@ def prove_batch(
             # full-width c MSM (public scalars zeroed, identity-padded query)
             # so it reuses the a/b1 compiled program — see _c_query_padded
             c_scal = w_t.at[:, :, :n_priv_offset].set(0)
-            c_dev = _msm_call(pk, "g1", _c_query_padded(pk), c_scal, progress)
+            c_dev = _msm_signal_call(pk, "g1", "c", c_scal, progress)
         else:
             c_dev = _msm_call(pk, "g1", pk.c_query, w_t[:, :, n_priv_offset:], progress)
         _mark("msm_c_s", c_dev)
