@@ -108,7 +108,11 @@ def emit_final():
     if prove_s and not detail.get("prove_steady_s"):
         detail["prove_time_basis"] = "first_pass_incl_compile"
     pps = 0.0
-    if prove_s and wit_s:
+    if detail.get("pipelined_proofs_per_sec"):
+        # measured 2-stage pipeline (host witness of batch i+1 overlapped
+        # with the TPU prove of batch i) — the steady-state throughput
+        pps = detail["pipelined_proofs_per_sec"]
+    elif prove_s and wit_s:
         pps = batch / (prove_s + wit_s)
     vs = 0.0
     if nc and pps:
@@ -228,7 +232,12 @@ prove_s = detail.get("prove_steady_s") or detail.get("prove_first_s")
 wit_s = detail.get("witness_steady_s") or detail.get("witness_first_s")
 if prove_s and not detail.get("prove_steady_s"):
     detail["prove_time_basis"] = "first_pass_incl_compile"
-pps = batch / (prove_s + wit_s) if prove_s and wit_s else 0.0
+if detail.get("pipelined_proofs_per_sec"):
+    pps = detail["pipelined_proofs_per_sec"]
+elif prove_s and wit_s:
+    pps = batch / (prove_s + wit_s)
+else:
+    pps = 0.0
 vs = pps / (1.0 / (SNARKJS * nc)) if nc and pps else 0.0
 detail["emitted_by"] = "watchdog_subprocess"
 print(json.dumps({
@@ -539,6 +548,42 @@ def main():
         partial(detail)
     else:
         log(f"skipping steady pass (elapsed {elapsed:.0f}s vs budget {budget_s:.0f}s)")
+
+    # pipelined steady state: the host witness of batch i+1 overlaps the
+    # TPU prove of batch i (prove dispatch blocks in native calls that
+    # release the GIL; the numpy witness runs meanwhile) — this is the
+    # production serving loop, so the headline throughput uses it
+    elapsed = time.time() - t_start
+    steady = detail.get("prove_steady_s")
+    if steady and elapsed + 2.2 * steady < budget_s:
+        rounds = 2
+        dev0 = jax.devices()[0]
+        t0 = time.time()
+        w_cur = witnesses
+        errs = []
+
+        def _prove(w_dev):
+            try:
+                prove_batch(pk, cc, w_dev)
+            except Exception as exc:  # surfaced after join
+                errs.append(exc)
+
+        for _ in range(rounds):
+            th = threading.Thread(target=_prove, args=(w_cur,), daemon=True)
+            th.start()
+            w_next = wit_fn(inputs)  # overlapped host witness
+            w_next.block_until_ready()
+            th.join()
+            w_cur = jax.device_put(w_next, dev0)
+        pipe_s = time.time() - t0
+        if errs:
+            log(f"pipelined pass failed: {errs[0]!r}; keeping serial numbers")
+        else:
+            detail["pipeline_rounds"] = rounds
+            detail["pipelined_proofs_per_sec"] = round(rounds * batch / pipe_s, 4)
+            log(f"pipelined {rounds}x batch-{batch}: {pipe_s:.2f}s = "
+                f"{detail['pipelined_proofs_per_sec']} proofs/s")
+            partial(detail)
 
     emit_final()
 

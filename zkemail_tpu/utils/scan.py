@@ -19,12 +19,21 @@ def _is_tracer_tree(tree) -> bool:
     )
 
 
+# When True, maybe_scan unrolls even while TRACING (the Python loop inlines
+# the body into the trace). XLA:CPU compiles field-arithmetic SCAN bodies
+# 10-50x slower than the equivalent flat graph (tests/test_sharded_prove
+# gating; the multichip dryrun measured 25+ min vs minutes unrolled) — the
+# dryrun flips this around its small jitted sharded step. Never needed on
+# the TPU toolchain.
+FORCE_UNROLL = False
+
+
 def maybe_scan(body, init, xs, length: int | None = None, force_scan: bool = False):
     """lax.scan on TPU / inside jit; Python loop on eager CPU.
 
     body(carry, x) -> (carry, out); returns (carry, stacked_outs).
     """
-    use_scan = (
+    use_scan = not FORCE_UNROLL and (
         force_scan
         or jax.default_backend() != "cpu"
         or _is_tracer_tree(init)
