@@ -211,3 +211,26 @@ def test_msm_sorted_pruned_g2():
     )
     assert got is not None
     assert affine_eq(CJ.FQ2_OPS, got, base)
+
+
+def test_host_tail_g2_matches_device_horner():
+    """_host_tail_g2 (the compile-free G2 Horner fold) == _horner_combine
+    on random per-window partials, including identity windows."""
+    from zkemail_tpu.ops.msm_sort import _host_tail_g2
+    from zkemail_tpu.ops.msm import _map_coords
+
+    bsz, n_windows, c = 2, 5, 13
+    host = [
+        G2.identity() if (i % 7 == 3) else G2.generator().mul(RNG.randrange(1, 10**9))
+        for i in range(bsz * n_windows)
+    ]
+    total = MSM.g2_points_from_affine(
+        [0 if p.inf else p.x.c0 for p in host], [0 if p.inf else p.x.c1 for p in host],
+        [1 if p.inf else p.y.c0 for p in host], [0 if p.inf else p.y.c1 for p in host],
+        infs=[p.inf for p in host],
+    )
+    got = _host_tail_g2(total, bsz, n_windows, c)
+    ref = _map_coords(total, lambda arr: arr.reshape(22, bsz, n_windows))
+    from zkemail_tpu.ops.msm import _horner_combine
+    want = _horner_combine(CJ.FQ2_OPS, ref, n_windows, c)
+    assert affine_eq(CJ.FQ2_OPS, got, want)

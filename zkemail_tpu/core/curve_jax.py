@@ -269,7 +269,16 @@ def _fused_ok(ops, p, q) -> bool:
     n = 1
     for d in shape:
         n *= d
-    return n >= 1024 and _LB._use_pallas()
+    # G1 keeps the 1024-lane floor (below it the composed path's small
+    # mont_mul scans are cheap and the warm compiled programs predate the
+    # change). Fq2 uses the fused kernel at ANY lane count: a composed Fq2
+    # add inlines ~18 small lax.scan CIOS chains, and a rows program whose
+    # correction/tail lanes fall below the floor never finished compiling
+    # on the tunneled TPU (measured r5: fq2@2^12 cols > 25 min, killed;
+    # all-fused graphs compile in minutes). The kernel pow2-pads tiles, so
+    # small batches just ride one padded tile.
+    min_lanes = 1 if ops.name == "fq2" else 1024
+    return n >= min_lanes and _LB._use_pallas()
 
 
 _G2_FUSED_STATE = {"checked": False, "ok": False}

@@ -336,6 +336,68 @@ def _colsum_jitted(ops_name: str):
     return jax.jit(functools.partial(CJ.ec_add, ops))
 
 
+def _host_tail_g2(total, bsz: int, n_windows: int, c_bits: int):
+    """Horner combine for G2 on the HOST: pull the (bsz*n_windows,)
+    projective per-window partials (a few KB) and fold them with python-int
+    Fq2 arithmetic, returning a device point batch (B,).
+
+    The device tail for Fq2 would be ~n_windows*c_bits composed doublings —
+    thousands of small CIOS scans whose XLA:TPU compile never terminated on
+    the tunnel (r5); at 8-160 points the host fold costs ~0.1 s and zero
+    compiles."""
+    from ..core import limbs as LBH
+    from ..core.curve import G2
+    from ..core.towers import Fq2
+
+    # device point coords are MONTGOMERY-form Fq limbs
+    coords = {}
+    for k in ("x", "y", "z"):
+        coords[k] = tuple(
+            [F.FQ.from_mont(int(v)) for v in
+             LBH.limbs_to_ints(np.asarray(c).reshape(L, -1))]
+            for c in total[k]
+        )
+
+    def pt(i):
+        z = Fq2(int(coords["z"][0][i]), int(coords["z"][1][i]))
+        if z.is_zero():
+            return G2.identity()
+        zi = z.inv()
+        return G2(
+            Fq2(int(coords["x"][0][i]), int(coords["x"][1][i])) * zi,
+            Fq2(int(coords["y"][0][i]), int(coords["y"][1][i])) * zi,
+        )
+
+    outs = []
+    for b in range(bsz):
+        res = pt(b * n_windows + n_windows - 1)
+        for w in range(n_windows - 2, -1, -1):
+            res = res.mul(1 << c_bits).add(pt(b * n_windows + w))
+        outs.append(res)
+
+    def limb_col(vals):
+        return jnp.asarray(
+            LBH.ints_to_limbs(
+                np.array([F.FQ.to_mont(int(v)) for v in vals], dtype=object)
+            )
+        )
+
+    return {
+        "x": (
+            limb_col([0 if p.inf else p.x.c0 for p in outs]),
+            limb_col([0 if p.inf else p.x.c1 for p in outs]),
+        ),
+        "y": (
+            limb_col([1 if p.inf else p.y.c0 for p in outs]),
+            limb_col([0 if p.inf else p.y.c1 for p in outs]),
+        ),
+        "z": (
+            limb_col([0 if p.inf else 1 for p in outs]),
+            limb_col([0 for _ in outs]),
+        ),
+    }
+
+
 @functools.lru_cache(maxsize=None)
 def _tail_jitted(ops_name: str, bsz: int, n_windows: int, c_bits: int):
     """reshape + Horner combine as ONE device program (the eager form is
@@ -476,6 +538,8 @@ def msm_sorted(
     if rows_pad != w_eff:
         total = _index_pt(ops, total, (slice(0, w_eff),))
     if on_accel:
+        if ops.name == "fq2":
+            return _host_tail_g2(total, bsz, n_windows, c_bits)
         return _tail_jitted(ops.name, bsz, n_windows, c_bits)(total)
     total = _map_coords(total, lambda c: c.reshape(L, bsz, n_windows))
     return _horner_combine(ops, total, n_windows, c_bits)
@@ -692,6 +756,8 @@ def msm_sorted_pruned(
     inv[row_perm] = np.arange(w_pad, dtype=np.int32)
     total = _map_coords(total, lambda c: c[:, jnp.asarray(inv[:w_eff])])
     if on_accel:
+        if ops.name == "fq2":
+            return _host_tail_g2(total, bsz, n_windows, c_bits)
         return _tail_jitted(ops.name, bsz, n_windows, c_bits)(total)
     total = _map_coords(total, lambda c: c.reshape(L, bsz, n_windows))
     return _horner_combine(ops, total, n_windows, c_bits)
