@@ -441,8 +441,13 @@ def main():
                     continue
                 zeros = jnp.zeros((F.LIMBS, batch, 2 * W), dtype=jnp.int32)
                 sl = _index_pt(ops, q, (slice(0, 2 * W),))
+                use_bits = (
+                    kind == "g2"
+                    and os.environ.get("ZKEMAIL_MSM_G2", "bits") == "bits"
+                )
                 try:
-                    r = MS.msm_sorted(
+                    msm_fn = MS.msm_bitserial if use_bits else MS.msm_sorted
+                    r = msm_fn(
                         ops, sl, zeros,
                         progress=lambda m, k=kind: log(f"prewarm {k}: {m}"),
                     )

@@ -234,3 +234,62 @@ def test_host_tail_g2_matches_device_horner():
     from zkemail_tpu.ops.msm import _horner_combine
     want = _horner_combine(CJ.FQ2_OPS, ref, n_windows, c)
     assert affine_eq(CJ.FQ2_OPS, got, want)
+
+
+def test_msm_bitserial_matches_dense_g1():
+    """Bit-serial masked-scan MSM == bucket MSM, planless and with a
+    signal plan (permuted bases + per-window prefixes), incl. col slicing."""
+    from zkemail_tpu.ops.msm_sort import build_signal_plan, msm_bitserial
+    from zkemail_tpu.ops.msm import _map_coords
+
+    n, bsz = 64, 2
+    host_pts = [G1.generator().mul(RNG.randrange(1, 10**9)) for _ in range(n)]
+    pts = MSM.points_from_affine_ints(
+        CJ.FQ_OPS, [p.x for p in host_pts], [p.y for p in host_pts]
+    )
+    rows = []
+    for _ in range(bsz):
+        row = [RNG.randrange(256) if j % 4 else RNG.randrange(P) for j in range(n)]
+        row[0], row[1] = 0, P - 1
+        rows.append(row)
+    scal = _scal_arr(rows)
+    base = MSM.msm_multi(CJ.FQ_OPS, pts, scal, chunk=8)
+    got = msm_bitserial(CJ.FQ_OPS, pts, scal, c_bits=13, k_block=4, col_chunk=32)
+    assert affine_eq(CJ.FQ_OPS, got, base)
+    perm, prefixes = build_signal_plan(scal, c_bits=13)
+    pts_p = _map_coords(pts, lambda c: c[:, jnp.asarray(perm)])
+    got2 = msm_bitserial(
+        CJ.FQ_OPS, pts_p, scal, perm, prefixes, c_bits=13, k_block=4, col_chunk=32
+    )
+    assert got2 is not None
+    assert affine_eq(CJ.FQ_OPS, got2, base)
+
+
+def test_msm_bitserial_matches_dense_g2():
+    from zkemail_tpu.ops.msm_sort import build_signal_plan, msm_bitserial
+    from zkemail_tpu.ops.msm import _map_coords
+
+    n = 16
+    host = [G2.generator().mul(RNG.randrange(1, 10**9)) for _ in range(n)]
+    pts = MSM.g2_points_from_affine(
+        [p.x.c0 for p in host], [p.x.c1 for p in host],
+        [p.y.c0 for p in host], [p.y.c1 for p in host],
+    )
+    rows = [[RNG.randrange(256) if j % 3 else RNG.randrange(P) for j in range(n)]
+            for _ in range(2)]
+    scal = _scal_arr(rows)
+    base = MSM.msm_multi(CJ.FQ2_OPS, pts, scal, chunk=4)
+    perm, prefixes = build_signal_plan(scal, c_bits=13)
+    pts_p = _map_coords(pts, lambda c: c[:, jnp.asarray(perm)])
+    got = msm_bitserial(
+        CJ.FQ2_OPS, pts_p, scal, perm, prefixes, c_bits=13, k_block=4
+    )
+    assert got is not None
+    assert affine_eq(CJ.FQ2_OPS, got, base)
+    # stale plan -> None
+    big = _scal_arr([[RNG.randrange(P) for _ in range(n)] for _ in range(2)])
+    small_plan = build_signal_plan(_scal_arr([[1] * n, [2] * n]), c_bits=13)
+    assert msm_bitserial(
+        CJ.FQ2_OPS, pts_p, big, small_plan[0], small_plan[1],
+        c_bits=13, k_block=4,
+    ) is None

@@ -763,6 +763,302 @@ def msm_sorted_pruned(
     return _horner_combine(ops, total, n_windows, c_bits)
 
 
+# ---------------------------------------------------------------------------
+# bit-serial masked-scan MSM: the compile-bounded G2 path
+# ---------------------------------------------------------------------------
+#
+# The weighted sum S = sum_i d_i * Q_i decomposes over the BITS of the digit
+# magnitudes: S = sum_b 2^b * sum_{i: bit_b(d_i)} (+-Q_i). Each inner sum is
+# a masked signed scan over the points in NATURAL order — no sort, no
+# gathers, no threshold machinery — so the whole compiled program is ONE
+# K-step scan body (one fused EC-add + one select) plus a log-depth block
+# reduction: a dozen Mosaic custom calls, compiling in minutes where the
+# sort/telescope graph for Fq2 never finished (PERF_NOTES round-5 compile
+# notes). Work is c_bits/(1+1/K) x the sort path — acceptable for the
+# window-pruned b2 MSM whose volume is ~7% of dense.
+
+
+@functools.lru_cache(maxsize=None)
+def _bits_rows_jitted(ops_name: str, c_bits: int, K: int):
+    """One bit-serial window-chunk program: points (n,), mag/neg (bsz, n)
+    -> per-bit-row points (bsz * c_bits,). The bit expansion happens inside
+    the program (eagerly it is ~2*c_bits tunnel dispatches per call); row
+    b * bsz + bt sums the points whose digit magnitude has bit b set,
+    signed by neg."""
+    ops = _ops_by_name(ops_name)
+
+    def f(points, mag, neg):
+        bsz, n = mag.shape
+        bitmask = jnp.concatenate(
+            [((mag >> b) & 1).astype(jnp.int32) for b in range(c_bits)], axis=0
+        )
+        negs = jnp.concatenate(
+            [neg.astype(jnp.int32)] * c_bits, axis=0
+        )
+        R = bsz * c_bits
+        nblk = n // K
+        xs = _map_coords(points, lambda c: jnp.moveaxis(c.reshape(L, nblk, K), 2, 0))
+        xs = _map_coords(xs, lambda c: jnp.broadcast_to(c[:, :, None], (K, L, R, nblk)))
+        bm = jnp.moveaxis(bitmask.reshape(R, nblk, K), 2, 0)  # (K, R, nblk)
+        ng = jnp.moveaxis(negs.reshape(R, nblk, K), 2, 0)
+
+        def body(acc, xe):
+            e, mask, sgn = xe
+            added = CJ.ec_add_signed(ops, acc, e, sgn)
+            acc = CJ.ec_select(ops, mask == 0, acc, added)
+            return acc, None
+
+        init = CJ.ec_identity(ops, (R, nblk))
+        bsum, _ = maybe_scan(body, init, (xs, bm, ng))
+        return _ec_sum_last(ops, bsum)
+
+    return jax.jit(f)
+
+
+def msm_bitserial(
+    ops,
+    points,
+    scalars: jnp.ndarray,
+    perm: np.ndarray | None = None,
+    prefixes: tuple | None = None,
+    c_bits: int = 0,
+    k_block: int = 16,
+    col_chunk: int = 0,
+    progress=None,
+):
+    """Bit-serial masked-scan MSM (same contract/result as msm_sorted).
+
+    With (perm, prefixes) from build_signal_plan, `points` must be the
+    permuted bases and each window's bit-rows stop at the window's column
+    prefix (rounded to col_chunk); returns None on a plan miss. Used for
+    G2 (ZKEMAIL_MSM_G2=bits) where the sort/telescope program exceeds the
+    tunnel's compile budget."""
+    c_bits = c_bits or C_BITS_SORT
+    _, bsz, n = scalars.shape
+    n_windows = -(-254 // c_bits)
+    col_chunk = col_chunk or default_col_chunk(ops)
+    if not col_chunk or col_chunk > n:
+        col_chunk = n
+    W = col_chunk
+    if W % k_block:
+        raise ValueError(f"col_chunk {W} must be a multiple of k_block {k_block}")
+    n_cols_pad = -(-n // W) * W
+    on_accel = jax.default_backend() != "cpu"
+
+    if prefixes is not None:
+        mag, neg, ok = _digits_win_jitted(c_bits, n_windows, n_cols_pad)(
+            scalars, jnp.asarray(perm),
+            jnp.asarray(np.array(prefixes, dtype=np.int32)),
+        )
+        if not bool(ok):
+            return None
+        n_chunks_j = [(-(-p // W) if p else 0) for p in prefixes]
+    else:
+        mag, neg, _ = _digits_win_jitted(c_bits, n_windows, n_cols_pad)(
+            scalars,
+            jnp.arange(n, dtype=jnp.int32),
+            jnp.full((n_windows,), n, dtype=np.int32),
+        )
+        n_chunks_j = [n_cols_pad // W] * n_windows
+
+    fn = (
+        _bits_rows_jitted(ops.name, c_bits, k_block)
+        if on_accel
+        else None
+    )
+    pts_slices: dict = {}
+
+    def pt_slice(cj):
+        if cj not in pts_slices:
+            s0, s1 = cj * W, min((cj + 1) * W, n)
+            p = points if W >= n else _index_pt(ops, points, (slice(s0, s1),))
+            if s1 - s0 < W:
+                p = _concat_last(
+                    ops, p, _index_pt(ops, points, (slice(0, W - (s1 - s0)),))
+                )
+            pts_slices[cj] = p
+        return pts_slices[cj]
+
+    # mag bit c-1 set means mag == 2^(c-1) exactly (signed recode bound):
+    # covered by including bit index c-1
+    n_bits = c_bits
+    # per-window totals accumulated as (bsz, n_windows) host-ordered rows
+    win_totals = []
+    for j in range(n_windows):
+        mc = n_chunks_j[j]
+        if mc == 0:
+            win_totals.append(None)
+            continue
+        parts = []
+        for cj in range(mc):
+            sl = slice(cj * W, (cj + 1) * W)
+            mag_j = mag[j, :, sl]  # (bsz, W)
+            neg_j = neg[j, :, sl]
+            if on_accel:
+                out = fn(pt_slice(cj), mag_j, neg_j)
+            else:
+                rows = jnp.concatenate(
+                    [((mag_j >> b) & 1).astype(jnp.int32) for b in range(n_bits)],
+                    axis=0,
+                )
+                negs = jnp.concatenate(
+                    [neg_j.astype(jnp.int32)] * n_bits, axis=0
+                )
+                R = rows.shape[0]
+                nblk = W // k_block
+                xs = _map_coords(
+                    pt_slice(cj),
+                    lambda c: jnp.moveaxis(c.reshape(L, nblk, k_block), 2, 0),
+                )
+                xs = _map_coords(
+                    xs, lambda c: jnp.broadcast_to(c[:, :, None], (k_block, L, R, nblk))
+                )
+                bm = jnp.moveaxis(rows.reshape(R, nblk, k_block), 2, 0)
+                ng = jnp.moveaxis(negs.reshape(R, nblk, k_block), 2, 0)
+
+                def body(acc, xe):
+                    e, mask, sgn = xe
+                    added = CJ.ec_add_signed(ops, acc, e, sgn)
+                    return CJ.ec_select(ops, mask == 0, acc, added), None
+
+                bsum, _ = maybe_scan(
+                    body, CJ.ec_identity(ops, (R, nblk)), (xs, bm, ng)
+                )
+                out = _ec_sum_last(ops, bsum)
+            parts.append(out)
+        tot = parts[0]
+        for pt in parts[1:]:
+            tot = (
+                _colsum_jitted(ops.name)(tot, pt)
+                if on_accel
+                else CJ.ec_add(ops, tot, pt)
+            )
+        if progress is not None and on_accel:
+            jax.block_until_ready(jax.tree_util.tree_leaves(tot)[0])
+            progress(f"msm bits window {j + 1}/{n_windows} (chunks {mc})")
+        win_totals.append(tot)  # (bsz * n_bits,) rows: bit-major blocks
+
+    # fold bits (weight 2^b) into per-window sums, then Horner across
+    # windows — on the host for fq2 (see _host_tail_g2 rationale)
+    ident = CJ.ec_identity(ops, (bsz * n_bits,))
+    ident = jax.tree_util.tree_map(
+        lambda c, q: jnp.asarray(c, dtype=q.dtype),
+        ident,
+        {k: points[k] for k in ident},
+    )
+    cols = []
+    for j in range(n_windows):
+        cols.append(win_totals[j] if win_totals[j] is not None else ident)
+    stacked = _concat_pt_list(cols)  # (n_windows * n_bits * bsz,)
+    return _bits_fold_host(ops, stacked, bsz, n_windows, n_bits, c_bits)
+
+
+def _bits_fold_host(ops, stacked, bsz, n_windows, n_bits, c_bits):
+    """Host fold of the bit-serial partials: rows are ordered
+    window-major, then bit-major, then batch. S = sum_w 2^(c*w) *
+    sum_b 2^b * S[w, b, batch]."""
+    from ..core import limbs as LBH
+    from ..core.curve import G1 as HG1, G2 as HG2
+    from ..core.towers import Fq2
+
+    is_fq2 = ops.name == "fq2"
+    coords = {}
+    for k in ("x", "y", "z"):
+        if is_fq2:
+            coords[k] = tuple(
+                [F.FQ.from_mont(int(v)) for v in
+                 LBH.limbs_to_ints(np.asarray(c).reshape(L, -1))]
+                for c in stacked[k]
+            )
+        else:
+            coords[k] = (
+                [F.FQ.from_mont(int(v)) for v in
+                 LBH.limbs_to_ints(np.asarray(stacked[k]).reshape(L, -1))],
+            )
+
+    def pt(i):
+        if is_fq2:
+            z = Fq2(int(coords["z"][0][i]), int(coords["z"][1][i]))
+            if z.is_zero():
+                return HG2.identity()
+            zi = z.inv()
+            return HG2(
+                Fq2(int(coords["x"][0][i]), int(coords["x"][1][i])) * zi,
+                Fq2(int(coords["y"][0][i]), int(coords["y"][1][i])) * zi,
+            )
+        z = int(coords["z"][0][i])
+        if z == 0:
+            return HG1.identity()
+        zi = pow(z, -1, F.Q)
+        return HG1(
+            int(coords["x"][0][i]) * zi % F.Q,
+            int(coords["y"][0][i]) * zi % F.Q,
+        )
+
+    outs = []
+    for bt in range(bsz):
+        res = HG2.identity() if is_fq2 else HG1.identity()
+        for w in range(n_windows - 1, -1, -1):
+            sw = HG2.identity() if is_fq2 else HG1.identity()
+            for b in range(n_bits - 1, -1, -1):
+                sw = sw.mul(2).add(pt((w * n_bits + b) * bsz + bt))
+            res = res.mul(1 << c_bits).add(sw)
+        outs.append(res)
+    # device-format output (Montgomery limbs, z=1 / identity z=0)
+
+    def limb_col(vals):
+        return jnp.asarray(
+            LBH.ints_to_limbs(
+                np.array([F.FQ.to_mont(int(v)) for v in vals], dtype=object)
+            )
+        )
+
+    if is_fq2:
+        return {
+            "x": (
+                limb_col([0 if p.inf else p.x.c0 for p in outs]),
+                limb_col([0 if p.inf else p.x.c1 for p in outs]),
+            ),
+            "y": (
+                limb_col([1 if p.inf else p.y.c0 for p in outs]),
+                limb_col([0 if p.inf else p.y.c1 for p in outs]),
+            ),
+            "z": (
+                limb_col([0 if p.inf else 1 for p in outs]),
+                limb_col([0 for _ in outs]),
+            ),
+        }
+    return {
+        "x": limb_col([0 if p.inf else p.x for p in outs]),
+        "y": limb_col([1 if p.inf else p.y for p in outs]),
+        "z": limb_col([0 if p.inf else 1 for p in outs]),
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def _digits_win_jitted(c_bits: int, n_windows: int, n_cols_pad: int):
+    """Digits of permuted scalars kept in (n_windows, bsz, n_cols_pad)
+    window-major layout + the plan-validity flag (bit-serial dispatch)."""
+
+    def f(scalars, perm, prefixes):
+        _, bsz, n = scalars.shape
+        sp = scalars[:, :, perm]
+        mag, neg = extract_signed_digits(
+            sp.reshape(L, bsz * n), c_bits, n_windows
+        )
+        mag = mag.reshape(n_windows, bsz, n)
+        neg = neg.reshape(n_windows, bsz, n)
+        col = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+        ok = ~jnp.any((col >= prefixes[:, None, None]) & (mag != 0))
+        pad_c = n_cols_pad - n
+        if pad_c:
+            mag = jnp.pad(mag, ((0, 0), (0, 0), (0, pad_c)))
+            neg = jnp.pad(neg, ((0, 0), (0, 0), (0, pad_c)))
+        return mag, neg, ok
+
+    return jax.jit(f)
+
+
 def msm_sorted_traced(
     ops,
     points,

@@ -373,7 +373,18 @@ def _msm_signal_call(pk, kind: str, qname: str, scal, progress=None):
 
     ops = CJ.FQ_OPS if kind == "g1" else CJ.FQ2_OPS
     perm, prefixes, pq = _signal_plan(pk, scal)
-    out = MS.msm_sorted_pruned(ops, pq[qname], scal, perm, prefixes, progress=progress)
+    if kind == "g2" and os.environ.get("ZKEMAIL_MSM_G2", "bits") == "bits":
+        # bit-serial masked-scan MSM for G2: the Fq2 sort/telescope rows
+        # program exceeds the tunnel's compile budget at every width
+        # (PERF_NOTES round-5 compile notes); the bit path compiles like
+        # any one-scan-body program and the pruned b2 volume is small
+        out = MS.msm_bitserial(
+            ops, pq[qname], scal, perm, prefixes, progress=progress
+        )
+    else:
+        out = MS.msm_sorted_pruned(
+            ops, pq[qname], scal, perm, prefixes, progress=progress
+        )
     if out is not None:
         return out
     # plan miss: this batch's digits exceed the cached prefixes (first call
